@@ -1,0 +1,92 @@
+"""CLI driver: `python -m lumillyrender_tpu <scene.toml> [options]`.
+
+Parity: `src/main.rs:43-173` — loads a TOML scene, renders, tone-maps and
+writes `images/image_<timestamp>_<spp>.<png|hdr>`. Extra framework flags
+(not scene content) are exposed as CLI options, mirroring SURVEY §5.6's
+note that framework knobs live outside the scene file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="lumillyrender_tpu", description=__doc__
+    )
+    parser.add_argument("scene", help="Path for .toml scene description")
+    parser.add_argument("--spp", type=int, default=None, help="Override sample count")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default=None, help="Output file (default images/...)")
+    parser.add_argument("--spp-chunk", type=int, default=None)
+    parser.add_argument(
+        "--intersector", choices=("auto", "brute", "bvh"), default="auto"
+    )
+    parser.add_argument("--devices", type=int, default=0,
+                        help="Shard across N devices (0 = single device)")
+    args = parser.parse_args(argv)
+
+    t0 = time.time()
+    print(f"start: {time.strftime('%Y-%m-%dT%H:%M:%S%z')}")
+    print(f"loading: {args.scene}")
+
+    from .scene.compiler import compile_scene_file
+
+    compiled = compile_scene_file(args.scene, spp=args.spp)
+    if args.intersector != "auto":
+        import dataclasses
+
+        compiled.settings = dataclasses.replace(
+            compiled.settings, intersector=args.intersector
+        )
+    s = compiled.settings
+    print(f"resolution: {s.width}x{s.height}")
+    print(f"spp: {s.spp}")
+    print(f"integrator: {s.integrator}")
+    print(f"polygons: {compiled.stats['polygons']}")
+    print(f"bvh construction: {compiled.stats['bvh_seconds']:.3f}s")
+
+    if args.devices and args.devices > 1:
+        from .parallel.shard import render_sharded
+
+        result = render_sharded(compiled, seed=args.seed, n_devices=args.devices)
+    else:
+        from .integrator.render import render
+
+        result = render(
+            compiled, seed=args.seed, spp_chunk=args.spp_chunk, progress=True
+        )
+
+    print("saving...")
+    fmt = compiled.config.film.output
+    if args.out:
+        out_path = Path(args.out)
+    else:
+        Path("images").mkdir(exist_ok=True)
+        stamp = time.strftime("%Y%m%d%H%M%S")
+        out_path = Path("images") / f"image_{stamp}_{s.spp}.{fmt}"
+
+    from .io.image import to_color, write_hdr, write_png
+
+    if fmt == "hdr":
+        write_hdr(out_path, result.film)
+    elif fmt == "png":
+        gamma = compiled.config.film.gamma
+        write_png(out_path, to_color(result.film, gamma))
+    else:
+        raise SystemExit(f"Unsupported output type `{fmt}`")
+
+    print(f"saved: {out_path}")
+    print(f"rays/s: {result.rays_per_second:.3e}")
+    print(f"elapse: {time.time() - t0:.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,256 @@
+"""Wavefront path-tracing integrators (`pt` and `pt-direct`).
+
+TPU-native replacement for the reference's per-pixel recursion
+(`scene.rs:20-46,64-193`): the whole wavefront (lane = pixel x sample)
+advances together through an iterative bounce loop — intersect-all,
+shade/NEE, sample-next — with Russian-roulette deaths handled by masking.
+Forward rendering uses `lax.while_loop` (stops as soon as every lane dies);
+the differentiable path uses a fixed-length `lax.scan` (reverse-mode safe).
+
+Estimator parity, bounce by bounce (`scene.rs:173-193`):
+  accum += T * l_e                      (front-face, depth-0 rules)
+  T /= rr_prob                          (survivors only)
+  accum += T * direct_light             (pt-direct only)
+  T *= brdf * coef * cos / pdf          (`scene.rs:78-102`)
+with sky radiance added for missed rays at every depth (`scene.rs:43`),
+regardless of the NEE no-emission flag.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EPS, INF, PI
+from ..ops import bsdf, rng, sky as sky_ops, vec
+from ..ops.intersect import intersect, shade_point
+from ..scene.data import RenderSettings, SceneData
+
+# RNG purpose slots per bounce (ctr = bounce * _SLOTS + slot).
+_SLOTS = 8
+_RR = 0
+_BSDF_AB = 1  # two uniforms: lobe phi / radius
+_BSDF_C = 2  # refraction roulette
+_NEE_PICK = 3  # light pick
+_NEE_UV = 4  # two uniforms: point-on-light
+
+
+class PathState(NamedTuple):
+    bounce: jax.Array  # () int32
+    o: jax.Array  # (N, 3)
+    d: jax.Array  # (N, 3)
+    throughput: jax.Array  # (N, 3)
+    accum: jax.Array  # (N, 3)
+    alive: jax.Array  # (N,) bool
+    rays_traced: jax.Array  # () int64-ish counter (float32 to stay cheap)
+
+
+def _russian_roulette(weight, bounce, settings: RenderSettings):
+    """`scene.rs:64-76`: prob = weight; halved per depth past depth_limit;
+    forced to 1 while depth <= depth (if positive)."""
+    prob = weight
+    over = jnp.maximum(bounce - settings.depth_limit, 0).astype(prob.dtype)
+    prob = prob * jnp.power(0.5, over)
+    prob = jnp.where((bounce <= settings.depth) & (prob > 0.0), 1.0, prob)
+    return prob
+
+
+def _sample_light_point(scene: SceneData, u_pick, u1, u2):
+    """Area-proportional light pick + uniform point (`objects.rs:37-51`,
+    `triangle.rs:140-149`, `sphere.rs:79-84`). pdf = 1 / total_area."""
+    lights = scene.lights
+    geom = scene.geometry
+    nt = geom.tri_p0.shape[0]
+    roulette = lights.total_area * u_pick
+    li = jnp.searchsorted(lights.cdf, roulette, side="left").astype(jnp.int32)
+    li = jnp.clip(li, 0, lights.prim.shape[0] - 1)
+    prim = jnp.take(lights.prim, li, axis=0)
+
+    is_tri = prim < nt
+    # Triangle sample: min/max trick.
+    tid = jnp.clip(prim, 0, max(nt - 1, 0))
+    if nt:
+        p0 = jnp.take(geom.tri_p0, tid, axis=0)
+        p1 = p0 + jnp.take(geom.tri_e1, tid, axis=0)
+        p2 = p0 + jnp.take(geom.tri_e2, tid, axis=0)
+        mn = jnp.minimum(u1, u2)[..., None]
+        mx = jnp.maximum(u1, u2)[..., None]
+        p_tri = p0 * mn + p1 * (1.0 - mx) + p2 * (mx - mn)
+    else:
+        p_tri = jnp.zeros(u1.shape + (3,), u1.dtype)
+    # Sphere sample: uniform over the FULL sphere (quirk #10).
+    ns = geom.sph_c.shape[0]
+    sid = jnp.clip(prim - nt, 0, max(ns - 1, 0))
+    if ns:
+        c = jnp.take(geom.sph_c, sid, axis=0)
+        r = jnp.take(geom.sph_r, sid, axis=0)
+        phi = 2.0 * PI * u1
+        z = u2 * 2.0 - 1.0
+        zs = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        dir_s = jnp.stack([jnp.cos(phi) * zs, jnp.sin(phi) * zs, z], axis=-1)
+        p_sph = c + dir_s * r[..., None]
+    else:
+        p_sph = jnp.zeros(u1.shape + (3,), u1.dtype)
+
+    point = jnp.where(is_tri[..., None], p_tri, p_sph)
+    pdf = jnp.full(u1.shape, 1.0, u1.dtype) / lights.total_area
+    return point, pdf
+
+
+def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, seed, bounce_ctr):
+    """NEE contribution (`scene.rs:104-151`). Returns (N,3) radiance.
+
+    `mats_eval` is the (possibly differentiable) material table used for
+    BRDF evaluation; gathers for sampling decisions already happened in
+    `mats_gathered`.
+    """
+    u_pick, _ = rng.uniform2(seed, lane, bounce_ctr + _NEE_PICK)
+    u1, u2 = rng.uniform2(seed, lane, bounce_ctr + _NEE_UV)
+    light_point, pdf = _sample_light_point(scene, u_pick, u1, u2)
+
+    path = light_point - sp.position
+    dist = vec.norm(path)
+    wi = path / jnp.maximum(dist, 1e-20)[..., None]
+
+    point_normal = vec.orienting_normal(out_dir, sp.normal)
+    cos_p = vec.dot(wi, point_normal)
+    ok = cos_p > 0.0
+
+    # Emissive-hit early-out (`scene.rs:105-108`): no NEE from emitters.
+    not_emitter = vec.sqr_norm(mats_gathered.emission) <= 0.0
+    ok = ok & not_emitter
+
+    shadow = intersect(sp.position, wi, scene.geometry, scene.bvh, settings.intersector)
+    shadow_sp = shade_point(sp.position, wi, shadow, scene.geometry)
+    visible = shadow_sp.hit & (jnp.abs(shadow.t - dist) <= EPS)
+    ok = ok & visible
+
+    light_cos = vec.dot(-wi, shadow_sp.normal)
+    ok = ok & (light_cos > 0.0)
+
+    g = cos_p * light_cos / jnp.maximum(vec.sqr_norm(path), 1e-20)
+    # Evaluation table may carry gradients; same rows as the sampling table.
+    f = bsdf.eval_brdf(
+        bsdf.gather(mats_eval, sp.mat), out_dir, wi, point_normal, sp.position
+    )
+    l_e = bsdf.gather(mats_eval, shadow_sp.mat).emission
+    contrib = f * l_e * (g / pdf)[..., None]
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def make_bounce_step(scene: SceneData, settings: RenderSettings, lane, seed,
+                     mats_eval=None):
+    """Build the per-bounce transition function over PathState.
+
+    `mats_eval` defaults to `scene.materials`; the differentiable renderer
+    passes the live (gradient-carrying) table here while `scene.materials`
+    holds a detached copy used for sampling decisions.
+    """
+    if mats_eval is None:
+        mats_eval = scene.materials
+    nee = settings.integrator == "pt-direct"
+
+    def step(state: PathState) -> PathState:
+        bounce = state.bounce
+        ctr = bounce * _SLOTS
+
+        hit = intersect(state.o, state.d, scene.geometry, scene.bvh, settings.intersector)
+        sp = shade_point(state.o, state.d, hit, scene.geometry)
+        rays = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32))
+
+        # Sky on miss (`scene.rs:43`) — at every depth, both integrators.
+        missed = state.alive & ~sp.hit
+        sky_l = sky_ops.radiance(scene.sky, settings.sky_kind, state.d)
+        accum = state.accum + jnp.where(
+            missed[..., None], state.throughput * sky_l, 0.0
+        )
+        alive = state.alive & sp.hit
+
+        m_sample = bsdf.gather(scene.materials, sp.mat)
+        m_eval = bsdf.gather(mats_eval, sp.mat)
+        out_dir = -state.d
+
+        # Emission (`scene.rs:175-179`): front faces only; depth-0 gated by
+        # no-direct-emitter; NEE kills it past depth 0 (no MIS, quirk #3).
+        front = vec.dot(out_dir, sp.normal) > 0.0
+        if nee:
+            allow_e = (bounce == 0) & (not settings.no_direct_emitter)
+        else:
+            allow_e = jnp.logical_or(
+                bounce != 0, jnp.array(not settings.no_direct_emitter)
+            )
+        emit_mask = alive & front & allow_e
+        accum = accum + jnp.where(
+            emit_mask[..., None], state.throughput * m_eval.emission, 0.0
+        )
+
+        # Russian roulette (`scene.rs:180-183`).
+        prob = _russian_roulette(bsdf.rr_weight(m_sample), bounce, settings)
+        u_rr = rng.uniform(seed, lane, ctr + _RR)
+        cont = (prob == 1.0) | (u_rr < prob)
+        alive = alive & cont
+        throughput = state.throughput / jnp.maximum(prob, 1e-12)[..., None]
+
+        # NEE (`scene.rs:185-186`).
+        if nee and settings.has_lights:
+            direct = _direct_light(
+                scene, settings, sp, out_dir, mats_eval, m_sample, lane, seed, ctr
+            )
+            accum = accum + jnp.where(alive[..., None], throughput * direct, 0.0)
+            rays = rays + jnp.sum(alive.astype(jnp.float32))  # shadow rays
+
+        # BSDF sampling + throughput update (`scene.rs:78-102`).
+        r1, r2 = rng.uniform2(seed, lane, ctr + _BSDF_AB)
+        r3 = rng.uniform(seed, lane, ctr + _BSDF_C)
+        s = bsdf.sample(m_sample, out_dir, sp.normal, r1, r2, r3)
+        f = bsdf.eval_brdf(m_eval, out_dir, s.direction, sp.normal, sp.position)
+        cf = bsdf.coef(m_eval, out_dir, sp.normal, hit.t)
+        cos = vec.dot(s.direction, sp.normal)  # geometric n (`scene.rs:91`)
+        w = f * cf * (cos / jnp.where(s.pdf != 0.0, s.pdf, 1.0))[..., None]
+        throughput = throughput * jnp.where(alive[..., None], w, 1.0)
+        # Lanes whose weight collapsed to exactly zero can never contribute.
+        alive = alive & jnp.any(w != 0.0, axis=-1) & (s.pdf != 0.0)
+
+        return PathState(
+            bounce=bounce + 1,
+            o=jnp.where(alive[..., None], sp.position, state.o),
+            d=jnp.where(alive[..., None], s.direction, state.d),
+            throughput=jnp.where(alive[..., None], throughput, state.throughput),
+            accum=accum,
+            alive=alive,
+            rays_traced=rays,
+        )
+
+    return step
+
+
+def trace(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
+          differentiable: bool = False, mats_eval=None):
+    """Trace radiance for a wavefront of rays. Returns (radiance (N,3),
+    rays_traced ())."""
+    n = o.shape[0]
+    state = PathState(
+        bounce=jnp.int32(0),
+        o=o,
+        d=d,
+        throughput=jnp.ones((n, 3), o.dtype),
+        accum=jnp.zeros((n, 3), o.dtype),
+        alive=jnp.ones((n,), bool),
+        rays_traced=jnp.float32(0.0),
+    )
+    step = make_bounce_step(scene, settings, lane, seed, mats_eval=mats_eval)
+
+    if differentiable:
+        def scan_step(s, _):
+            return step(s), None
+
+        state, _ = jax.lax.scan(scan_step, state, None, length=settings.max_bounces)
+    else:
+        state = jax.lax.while_loop(
+            lambda s: jnp.any(s.alive) & (s.bounce < settings.max_bounces),
+            step,
+            state,
+        )
+    return state.accum, state.rays_traced

@@ -1,0 +1,338 @@
+"""Vectorized differentiable BSDF table.
+
+TPU-native replacement for the reference's `Material` trait objects
+(`src/material/`): one fused kernel evaluates all five BSDF families on the
+whole wavefront and selects per lane by material type id. All branches are
+computed masked (VPU work is cheap; gathers and branches are not), and all
+material parameters flow from `MaterialTable` leaves so gradients reach
+albedo / reflectance / emission / roughness / ior / absorbtance.
+
+For detached-sampling gradients the integrator passes a stop-gradient copy
+of the table to `sample` (directions + pdfs) and the live table to `eval_*`
+(the differentiable shading path). See `diff/render.py`.
+
+Parity notes per family are inline; quirks from SURVEY.md's register:
+ #1 checker-in-Lambert, #15 Blinn-Phong half-vector pdf without Jacobian,
+ #16 refraction radiance compression + Beer-Lambert coef.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PI
+from ..scene.data import (
+    MAT_BLINN_PHONG,
+    MAT_GGX,
+    MAT_LAMBERT,
+    MAT_PHONG,
+    MAT_REFRACTION,
+    MaterialTable,
+)
+from . import vec
+
+
+class GatheredMaterial(NamedTuple):
+    """Per-lane material parameters (rows gathered once per bounce)."""
+
+    type_id: jax.Array  # (N,) int32
+    color: jax.Array  # (N, 3)
+    emission: jax.Array  # (N, 3)
+    alpha: jax.Array  # (N,)
+    ior: jax.Array  # (N,)
+    absorbtance: jax.Array  # (N,)
+
+
+def gather(table: MaterialTable, mat_id) -> GatheredMaterial:
+    i = jnp.maximum(mat_id, 0)
+    return GatheredMaterial(
+        type_id=jnp.take(table.type_id, i, axis=0),
+        color=jnp.take(table.color, i, axis=0),
+        emission=jnp.take(table.emission, i, axis=0),
+        alpha=jnp.take(table.alpha, i, axis=0),
+        ior=jnp.take(table.ior, i, axis=0),
+        absorbtance=jnp.take(table.absorbtance, i, axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lambert checker texture (quirk #1, `lambert.rs:58-90`)
+# ---------------------------------------------------------------------------
+
+
+def _signed_mod(b, m):
+    """Rust `signed_mod` (`lambert.rs:58-64`): base>0 -> base % m, else
+    m - (-base) % m (note: returns m, not 0, at non-positive multiples)."""
+    return jnp.where(b > 0.0, jnp.mod(b, m), m - jnp.mod(-b, m))
+
+
+def checker(u, v):
+    """Hard-coded procedural checker multiplying every Lambert BRDF
+    (`lambert.rs:32-35,66-90`). Args are world x / z."""
+    lw, li = 2.0, 150.0
+    sw, si = 1.0, 30.0
+    cw, ci = 150.0, 300.0
+    lu, lv = _signed_mod(u, li), _signed_mod(v, li)
+    su, sv = _signed_mod(u, si), _signed_mod(v, si)
+    cu, cv = _signed_mod(u, ci), _signed_mod(v, ci)
+    big_line = (lu < lw) | (lv < lw)
+    small_line = (su < sw) | (sv < sw)
+    cell = ((cu < cw) | (cv < cw)) & ~((cu < cw) & (cv < cw))
+    out = jnp.where(cell, 0.8, 1.0)
+    out = jnp.where(small_line, 0.6, out)
+    out = jnp.where(big_line, 0.5, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _pow_clamped(base, e):
+    """cos^alpha with negative bases clamped to 0.
+
+    The reference calls Rust `powf` which NaN-poisons non-integer exponents
+    on negative bases (`phong.rs:41-44`); sampled lobes always have
+    cos >= 0, so clamping only sanitizes NEE evaluation of back-lobe
+    directions (documented deviation; see tests/test_bsdf.py).
+    """
+    return jnp.where(base > 0.0, jnp.power(jnp.maximum(base, 1e-30), e), 0.0)
+
+
+def _ggx_alpha(rough):
+    return rough * rough
+
+
+def _ggx_g1(v, n, a2):
+    cos = vec.dot(v, n)
+    tan2 = 1.0 / jnp.maximum(cos * cos, 1e-20) - 1.0
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * a2 * tan2 * tan2))
+
+
+def _ggx_ndf(m, n, a2):
+    mdn = vec.dot(m, n)
+    x = (a2 * a2 - 1.0) * mdn * mdn + 1.0
+    return a2 * a2 / (PI * x * x)
+
+
+def _schlick_f0(ior):
+    nnn = 1.0 - ior
+    nnp = 1.0 + ior
+    return (nnn * nnn) / (nnp * nnp)
+
+
+def _fresnel_exact(n1, n2, out_, in_, on):
+    """Exact (s+p)/2 Fresnel (`ideal_refraction.rs:138-150`): out_ incident,
+    in_ transmitted, on orienting normal."""
+    cos1 = vec.dot(out_, on)
+    cos2 = vec.dot(in_, -on)
+    rs = ((n1 * cos1 - n2 * cos2) / (n1 * cos1 + n2 * cos2)) ** 2
+    rp = ((n1 * cos2 - n2 * cos1) / (n1 * cos2 + n2 * cos1)) ** 2
+    return (rs + rp) / 2.0
+
+
+def _ior_pair(out_, n, ior):
+    """(from_ior, to_ior) by side (`ideal_refraction.rs:117-136`)."""
+    entering = vec.dot(out_, n) > 0.0
+    from_ior = jnp.where(entering, 1.0, ior)
+    to_ior = jnp.where(entering, ior, 1.0)
+    return from_ior, to_ior
+
+
+# ---------------------------------------------------------------------------
+# emission / RR weight / coef
+# ---------------------------------------------------------------------------
+
+
+def emission(m: GatheredMaterial):
+    """Only Lambert rows carry emission (quirk #2); the table enforces that
+    at build time, so this is a plain gather."""
+    return m.emission
+
+
+def rr_weight(m: GatheredMaterial):
+    """Max color channel (`material/*.rs weight()`)."""
+    return jnp.max(m.color, axis=-1)
+
+
+def coef(m: GatheredMaterial, out_, n, distance):
+    """Radiance coefficient: Beer-Lambert absorption when exiting a
+    refractive medium (`ideal_refraction.rs:106-113`); 1 otherwise."""
+    exiting = vec.dot(out_, n) < 0.0
+    absorb = jnp.exp(
+        -(1.0 - m.color) * (m.absorbtance * distance)[..., None]
+    )
+    use = exiting & (m.type_id == MAT_REFRACTION)
+    return jnp.where(use[..., None], absorb, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# BRDF evaluation
+# ---------------------------------------------------------------------------
+
+
+def eval_brdf(m: GatheredMaterial, out_, in_, n, pos):
+    """f(out, in) per lane -> (N,3). `n` is the raw geometric normal; each
+    family computes its own orienting normal (`scene.rs:87` passes i.normal,
+    except NEE which pre-orients — the caller chooses)."""
+    on = vec.orienting_normal(out_, n)
+    i_dot_on = vec.dot(in_, on)
+    front = i_dot_on > 0.0
+
+    # Lambert: albedo * checker(x, z) / pi (`lambert.rs:32-35`).
+    f_lambert = (
+        m.color * checker(pos[..., 0], pos[..., 2])[..., None] / PI
+    )
+
+    # Phong: rho (a+2)/(2pi) (r.in)^a (`phong.rs:37-45`).
+    r = vec.reflect(out_, on)
+    cos_ph = vec.dot(r, in_)
+    f_phong = m.color * (
+        (m.alpha + 2.0) / (2.0 * PI) * _pow_clamped(cos_ph, m.alpha)
+    )[..., None]
+    f_phong = jnp.where(front[..., None], f_phong, 0.0)
+
+    # Blinn-Phong (`blinn_phong.rs:37-47`).
+    h = vec.safe_normalize(in_ + out_)
+    cos_bl = vec.dot(h, on)
+    a = m.alpha
+    f_blinn = m.color * (
+        (a + 2.0) * (a + 4.0)
+        / (8.0 * PI * (jnp.exp2(-a / 2.0) + a))
+        * _pow_clamped(cos_bl, a)
+    )[..., None]
+    f_blinn = jnp.where(front[..., None], f_blinn, 0.0)
+
+    # GGX Torrance-Sparrow (`ggx.rs:71-85`).
+    a2 = _ggx_alpha(m.alpha)
+    fr_s = _schlick_f0(m.ior) + (1.0 - _schlick_f0(m.ior)) * (
+        1.0 - vec.dot(in_, h)
+    ) ** 5
+    g = _ggx_g1(in_, on, a2) * _ggx_g1(out_, on, a2)
+    d_ndf = _ggx_ndf(h, on, a2)
+    denom = 4.0 * i_dot_on * vec.dot(out_, on)
+    f_ggx = m.color * (fr_s * g * d_ndf / jnp.where(denom != 0.0, denom, 1.0))[..., None]
+    f_ggx = jnp.where(front[..., None], f_ggx, 0.0)
+
+    # Ideal refraction: delta weights / (in . n) with radiance compression
+    # on transmission (`ideal_refraction.rs:39-66`).
+    from_ior, to_ior = _ior_pair(out_, n, m.ior)
+    eta = from_ior / to_ior
+    refr, valid = vec.refract(out_, on, eta)
+    fr = _fresnel_exact(from_ior, to_ior, out_, refr, on)
+    i_dot_n = vec.dot(in_, n)
+    inv_idn = 1.0 / jnp.where(i_dot_n != 0.0, i_dot_n, 1.0)
+    ft = (1.0 - fr) * (to_ior / from_ior) ** 2
+    w_refl = jnp.where(i_dot_on > 0.0, fr, ft)
+    f_refr = m.color * jnp.where(valid, w_refl, 1.0)[..., None] * inv_idn[..., None]
+
+    t = m.type_id[..., None]
+    out = jnp.where(t == MAT_LAMBERT, f_lambert, 0.0)
+    out = jnp.where(t == MAT_PHONG, f_phong, out)
+    out = jnp.where(t == MAT_BLINN_PHONG, f_blinn, out)
+    out = jnp.where(t == MAT_GGX, f_ggx, out)
+    out = jnp.where(t == MAT_REFRACTION, f_refr, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+
+class BsdfSample(NamedTuple):
+    direction: jax.Array  # (N, 3)
+    pdf: jax.Array  # (N,)
+
+
+def sample(m: GatheredMaterial, out_, n, r1u, r2u, r3u) -> BsdfSample:
+    """Importance-sample the per-lane BSDF.
+
+    r1u/r2u: lobe uniforms; r3u: refraction reflect/transmit roulette.
+    Mirrors `material/*.rs sample()` exactly per family.
+    """
+    on = vec.orienting_normal(out_, n)
+    u, v = vec.orthonormal_basis(on)
+    phi = 2.0 * PI * r1u
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+
+    # Lambert: cosine hemisphere (`util.rs:87-96`, `lambert.rs:37-55`).
+    r2s = jnp.sqrt(r2u)
+    d_lam = (
+        u * (cp * r2s)[..., None]
+        + v * (sp * r2s)[..., None]
+        + on * jnp.sqrt(1.0 - r2u)[..., None]
+    )
+    pdf_lam = vec.dot(d_lam, n) / PI  # geometric n (`lambert.rs:47-50`)
+
+    # Phong: lobe around the mirror direction (`phong.rs:47-68`).
+    a = m.alpha
+    r = vec.reflect(out_, on)
+    ur, vr = vec.orthonormal_basis(r)
+    t_ph = jnp.power(r2u, 1.0 / (a + 2.0))
+    ts_ph = jnp.sqrt(jnp.maximum(1.0 - t_ph * t_ph, 0.0))
+    d_ph = (
+        ur * (cp * ts_ph)[..., None]
+        + vr * (sp * ts_ph)[..., None]
+        + r * t_ph[..., None]
+    )
+    cos_ph = vec.dot(r, d_ph)
+    pdf_ph = (a + 2.0) / (2.0 * PI) * _pow_clamped(cos_ph, a)
+
+    # Blinn-Phong: half-vector around the normal, then reflect; pdf left in
+    # half-vector measure (quirk #15, `blinn_phong.rs:49-72`).
+    t_bl = jnp.power(r2u, 1.0 / (a + 2.0))
+    ts_bl = jnp.sqrt(jnp.maximum(1.0 - t_bl * t_bl, 0.0))
+    h_bl = (
+        u * (cp * ts_bl)[..., None]
+        + v * (sp * ts_bl)[..., None]
+        + on * t_bl[..., None]
+    )
+    d_bl = h_bl * (2.0 * vec.dot(out_, h_bl))[..., None] - out_
+    pdf_bl = (a + 2.0) / (2.0 * PI) * _pow_clamped(vec.dot(on, h_bl), a)
+
+    # GGX: NDF-sampled half vector (`ggx.rs:87-113`).
+    a2 = _ggx_alpha(m.alpha)
+    tan = a2 * jnp.sqrt(r2u / jnp.maximum(1.0 - r2u, 1e-12))
+    x = 1.0 + tan * tan
+    cos_g = 1.0 / jnp.sqrt(x)
+    sin_g = tan / jnp.sqrt(x)
+    h_g = (
+        u * (cp * sin_g)[..., None]
+        + v * (sp * sin_g)[..., None]
+        + on * cos_g[..., None]
+    )
+    o_h = vec.dot(out_, h_g)
+    d_g = h_g * (2.0 * o_h)[..., None] - out_
+    pdf_g = _ggx_ndf(h_g, on, a2) * vec.dot(h_g, on) / (4.0 * jnp.where(o_h != 0.0, o_h, 1.0))
+
+    # Ideal refraction: Fresnel roulette (`ideal_refraction.rs:68-104`).
+    from_ior, to_ior = _ior_pair(out_, n, m.ior)
+    refr, valid = vec.refract(out_, on, from_ior / to_ior)
+    fr = _fresnel_exact(from_ior, to_ior, out_, refr, on)
+    refl_dir = vec.reflect(out_, on)
+    choose_refl = r3u < fr
+    d_rf = jnp.where(
+        valid[..., None],
+        jnp.where(choose_refl[..., None], refl_dir, refr),
+        refl_dir,
+    )
+    pdf_rf = jnp.where(valid, jnp.where(choose_refl, fr, 1.0 - fr), 1.0)
+
+    t = m.type_id
+    t3 = t[..., None]
+    d = jnp.where(t3 == MAT_LAMBERT, d_lam, 0.0)
+    d = jnp.where(t3 == MAT_PHONG, d_ph, d)
+    d = jnp.where(t3 == MAT_BLINN_PHONG, d_bl, d)
+    d = jnp.where(t3 == MAT_GGX, d_g, d)
+    d = jnp.where(t3 == MAT_REFRACTION, d_rf, d)
+    pdf = jnp.where(t == MAT_LAMBERT, pdf_lam, 0.0)
+    pdf = jnp.where(t == MAT_PHONG, pdf_ph, pdf)
+    pdf = jnp.where(t == MAT_BLINN_PHONG, pdf_bl, pdf)
+    pdf = jnp.where(t == MAT_GGX, pdf_g, pdf)
+    pdf = jnp.where(t == MAT_REFRACTION, pdf_rf, pdf)
+    return BsdfSample(direction=d, pdf=pdf)
