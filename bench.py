@@ -1,0 +1,87 @@
+"""Benchmark: rays/s/chip (forward) on the new-cbox flagship scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no perf numbers (BASELINE.md), so the baseline is
+self-established: the first TPU measurement is stored in
+`bench_baseline.json` and later rounds report their speedup against it.
+
+Methodology: compile + warm up one chunk, then time repeated render chunks
+(jitted, on-device accumulation). "rays" counts every traced ray: camera
+rays, bounce rays (live lanes per bounce) and NEE shadow rays — i.e. real
+work, not nominal lane-steps.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SPP_CHUNK = 32
+MEASURE_CHUNKS = 5
+RESOLUTION = 256
+
+
+def main() -> None:
+    import dataclasses
+
+    from lumillyrender_tpu.integrator.render import _render_chunk
+    from lumillyrender_tpu.scene.compiler import compile_scene_file
+
+    scene_path = REPO / "assets" / "new-cbox.toml"
+    if not scene_path.exists():
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "make_assets.py"),
+             str(REPO / "assets")],
+            check=True,
+        )
+
+    compiled = compile_scene_file(scene_path, spp=SPP_CHUNK * MEASURE_CHUNKS)
+    compiled.settings = dataclasses.replace(
+        compiled.settings, width=RESOLUTION, height=RESOLUTION
+    )
+    scene, settings = compiled.data, compiled.settings
+
+    # Warm-up: compile + first execution.
+    film, rays = _render_chunk(scene, settings, 0, 0, SPP_CHUNK)
+    film.block_until_ready()
+
+    t0 = time.monotonic()
+    total_rays = 0.0
+    for i in range(MEASURE_CHUNKS):
+        film, rays = _render_chunk(scene, settings, 1 + i, i * SPP_CHUNK, SPP_CHUNK)
+        total_rays += float(rays)
+    film.block_until_ready()
+    seconds = time.monotonic() - t0
+    value = total_rays / seconds
+
+    baseline_file = REPO / "bench_baseline.json"
+    if baseline_file.exists():
+        baseline = json.loads(baseline_file.read_text())["value"]
+    else:
+        baseline = value
+        baseline_file.write_text(
+            json.dumps({"metric": "rays_per_second_fwd_new_cbox", "value": value})
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_second_fwd_new_cbox",
+                "value": value,
+                "unit": "rays/s",
+                "vs_baseline": value / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     )
     parser.add_argument("scene", help="Path for .toml scene description")
     parser.add_argument("--spp", type=int, default=None, help="Override sample count")
+    parser.add_argument(
+        "--resolution", type=int, nargs=2, default=None, metavar=("W", "H"),
+        help="Override film resolution",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default=None, help="Output file (default images/...)")
     parser.add_argument("--spp-chunk", type=int, default=None)
@@ -38,12 +42,16 @@ def main(argv=None) -> int:
 
     from .scene.compiler import compile_scene_file
 
+    import dataclasses
+
     compiled = compile_scene_file(args.scene, spp=args.spp)
     if args.intersector != "auto":
-        import dataclasses
-
         compiled.settings = dataclasses.replace(
             compiled.settings, intersector=args.intersector
+        )
+    if args.resolution:
+        compiled.settings = dataclasses.replace(
+            compiled.settings, width=args.resolution[0], height=args.resolution[1]
         )
     s = compiled.settings
     print(f"resolution: {s.width}x{s.height}")

@@ -1,0 +1,129 @@
+"""Differentiable rendering: pixel gradients w.r.t. material & camera params.
+
+The reference has no autodiff anywhere — this is the new capability mandated
+by BASELINE.json's north star ("differentiable shading ... gradients w.r.t.
+material parameters (albedo, roughness, emission) and camera parameters").
+
+Detached-sampling estimator: all *sampling decisions* (BSDF lobe directions
+and pdfs, RR accepts, light picks) are computed from a stop-gradient copy of
+the parameters, while the *shading chain* (BRDF values, emission, coef,
+cosines, camera ray weights — and the intersection t itself, which carries
+geometric derivatives for camera parameters) is evaluated from the live
+parameters. With sampling density p fixed at theta0, E[d/dtheta f(x, theta)
+/ p(x)] = d/dtheta Int f — unbiased gradients of the rendered image. The
+same construction makes finite differences of THIS renderer (same seeds)
+agree with autodiff up to FD truncation error, which is the falsifiable test
+gate (tests/test_diff.py).
+
+The bounce loop runs as a fixed-length `lax.scan` (reverse-mode safe),
+unlike the forward renderer's early-exit `while_loop`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..integrator.wavefront import trace
+from ..ops import camera as camera_ops
+from ..ops import rng
+from ..scene.data import CameraData, MaterialTable, RenderSettings, SceneData
+
+
+class DiffParams(NamedTuple):
+    """The differentiable parameter set."""
+
+    materials: MaterialTable
+    camera: CameraData
+
+
+def params_of(scene: SceneData) -> DiffParams:
+    return DiffParams(materials=scene.materials, camera=scene.camera)
+
+
+def render_diff(
+    scene: SceneData,
+    settings: RenderSettings,
+    params: DiffParams,
+    seed: int,
+    spp: int,
+    sample_offsets=None,
+) -> jax.Array:
+    """Differentiable film (H, W, 3) as a function of `params`.
+
+    Sampling decisions use stop_gradient(params); shading uses live params.
+    `sample_offsets` (spp,) int32 gives the global sample ids for this call
+    (used by the sharded training step to decorrelate devices).
+    """
+    detached = jax.lax.stop_gradient(params)
+    # Scene copy whose material table drives sampling decisions only.
+    scene_s = replace(scene, materials=detached.materials, camera=params.camera)
+
+    w, h = settings.width, settings.height
+    n = w * h * spp
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane % w).astype(jnp.int32)
+    py = ((lane // w) % h).astype(jnp.int32)
+    if sample_offsets is not None:
+        sample_idx = sample_offsets[(lane // (w * h)).astype(jnp.int32)]
+        lane = lane % jnp.uint32(w * h) + sample_idx.astype(jnp.uint32) * jnp.uint32(w * h)
+
+    u, v = rng.uniform2(seed, lane, 0x40000000)
+    u2, v2 = rng.uniform2(seed, lane, 0x40000001)
+    o, d, pdf, g = camera_ops.sample_rays(
+        params.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
+    )
+    radiance, _ = trace(
+        scene_s,
+        settings,
+        o,
+        d,
+        lane,
+        seed,
+        differentiable=True,
+        mats_eval=params.materials,
+    )
+    weight = (g * params.camera.sensor_sensitivity / pdf)[..., None]
+    film = jnp.mean((radiance * weight).reshape(spp, h, w, 3), axis=0)
+    return film
+
+
+@partial(jax.jit, static_argnames=("settings", "spp"))
+def film_and_grads(
+    scene: SceneData,
+    settings: RenderSettings,
+    params: DiffParams,
+    target: jax.Array,
+    seed: int,
+    spp: int,
+):
+    """One inverse-rendering step: L2 loss against `target` plus gradients
+    w.r.t. every material/camera parameter."""
+
+    def loss_fn(p):
+        film = render_diff(scene, settings, p, seed, spp)
+        return jnp.mean((film - target) ** 2), film
+
+    (loss, film), grads = jax.value_and_grad(loss_fn, has_aux=True, allow_int=True)(params)
+    return loss, film, grads
+
+
+def pixel_grad(
+    scene: SceneData,
+    settings: RenderSettings,
+    params: DiffParams,
+    seed: int,
+    spp: int,
+    select,
+):
+    """Gradient of a scalar pixel functional `select(film)` w.r.t. params —
+    the FD-comparison entry point used by the gradient gate tests."""
+
+    def f(p):
+        return select(render_diff(scene, settings, p, seed, spp))
+
+    return jax.grad(f, allow_int=True)(params)

@@ -24,9 +24,8 @@ from ..scene.data import RenderSettings, SceneData
 from .wavefront import trace
 
 
-@partial(jax.jit, static_argnames=("settings", "spp_chunk", "sample_offset"))
-def _render_chunk(scene: SceneData, settings: RenderSettings, seed,
-                  sample_offset: int, spp_chunk: int):
+def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
+                      sample_offset: int, spp_chunk: int):
     """Render `spp_chunk` samples for every pixel; returns (film_sum, rays)."""
     w, h = settings.width, settings.height
     n = w * h * spp_chunk
@@ -49,6 +48,11 @@ def _render_chunk(scene: SceneData, settings: RenderSettings, seed,
     contrib = radiance * weight
     film = jnp.sum(contrib.reshape(spp_chunk, h, w, 3), axis=0)
     return film, rays + jnp.float32(n)  # camera rays count too
+
+
+_render_chunk = jax.jit(
+    render_chunk_impl, static_argnames=("settings", "spp_chunk", "sample_offset")
+)
 
 
 @dataclass

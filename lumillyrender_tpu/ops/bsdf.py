@@ -116,6 +116,9 @@ def _ggx_g1(v, n, a2):
 def _ggx_ndf(m, n, a2):
     mdn = vec.dot(m, n)
     x = (a2 * a2 - 1.0) * mdn * mdn + 1.0
+    # x == 0 only when a2 == 0 and m == n (lambert-typed lanes running the
+    # masked GGX branch): guard the 0/0 so dead branches stay NaN-free.
+    x = jnp.where(x != 0.0, x, 1.0)
     return a2 * a2 / (PI * x * x)
 
 

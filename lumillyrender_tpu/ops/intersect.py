@@ -47,14 +47,17 @@ def _tri_t(o, d, p0, e1, e2):
     """
     pv = jnp.cross(d, e2)
     det = jnp.sum(e1 * pv, axis=-1)
-    inv = 1.0 / det
+    # Guard BEFORE the reciprocal so reverse-mode stays NaN-free on the
+    # masked (near-parallel) lanes ("double-where" pattern).
+    det_ok = jnp.abs(det) >= EPS
+    inv = 1.0 / jnp.where(det_ok, det, 1.0)
     tv = o - p0
     u = jnp.sum(tv * pv, axis=-1) * inv
     qv = jnp.cross(tv, e1)
     v = jnp.sum(d * qv, axis=-1) * inv
     t = jnp.sum(e2 * qv, axis=-1) * inv
     ok = (
-        (jnp.abs(det) >= EPS)
+        det_ok
         & (u >= 0.0) & (u <= 1.0)
         & (v >= 0.0) & (u + v <= 1.0)
         & (t >= EPS)
@@ -67,7 +70,8 @@ def _sph_t(o, d, c, r):
     co = o - c
     cod = jnp.sum(co * d, axis=-1)
     det = cod * cod - jnp.sum(co * co, axis=-1) + r * r
-    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    # sqrt input guarded before the nonlinearity (reverse-mode NaN safety).
+    sq = jnp.sqrt(jnp.where(det > 0.0, det, 1.0))
     t1 = -cod - sq
     t2 = -cod + sq
     t = jnp.where(t1 > EPS, t1, t2)
@@ -244,4 +248,9 @@ def shade_point(o, d, hit: Hit, geom: Geometry) -> ShadePoint:
         mat = jnp.where(is_tri, mat, jnp.take(geom.sph_mat, sid, axis=0))
 
     mat = jnp.where(hitmask, mat, -1)
+    # Miss lanes get a unit dummy normal: downstream basis construction and
+    # its backward pass must stay NaN-free even on dead lanes.
+    normal = jnp.where(
+        hitmask[..., None], normal, jnp.array([0.0, 0.0, 1.0], normal.dtype)
+    )
     return ShadePoint(position=pos, normal=normal, mat=mat, hit=hitmask)

@@ -43,7 +43,7 @@ def orthonormal_basis(w):
         jnp.array([0.0, 1.0, 0.0], w.dtype),
         jnp.array([1.0, 0.0, 0.0], w.dtype),
     )
-    tangent = normalize(cross(a, w))
+    tangent = safe_normalize(cross(a, w))
     binormal = cross(w, tangent)
     return tangent, binormal
 
@@ -63,7 +63,8 @@ def refract(v, n, eta):
     dn = dot(v, n)
     cos2 = 1.0 - eta**2 * (1.0 - dn**2)
     valid = cos2 > 0.0
-    safe = jnp.sqrt(jnp.maximum(cos2, 0.0))
+    # Guarded before the sqrt so TIR lanes don't NaN the backward pass.
+    safe = jnp.sqrt(jnp.where(valid, cos2, 1.0))
     r = -v * eta[..., None] - n * (eta * -dn + safe)[..., None]
     return r, valid
 
