@@ -52,14 +52,22 @@ def render_diff(
     seed: int,
     spp: int,
     sample_offsets=None,
+    params_sample: DiffParams | None = None,
 ) -> jax.Array:
     """Differentiable film (H, W, 3) as a function of `params`.
 
     Sampling decisions use stop_gradient(params); shading uses live params.
     `sample_offsets` (spp,) int32 gives the global sample ids for this call
     (used by the sharded training step to decorrelate devices).
+    `params_sample` pins the sampling-decision parameters explicitly — the
+    FD-vs-autodiff gate holds the sampling measure fixed on both sides by
+    passing theta0 here while FD perturbs only the eval params.
     """
-    detached = jax.lax.stop_gradient(params)
+    detached = (
+        jax.lax.stop_gradient(params)
+        if params_sample is None
+        else jax.lax.stop_gradient(params_sample)
+    )
     # Scene copy whose material table drives sampling decisions only.
     scene_s = replace(scene, materials=detached.materials, camera=params.camera)
 

@@ -52,12 +52,13 @@ def uniform2(seed, lane, ctr):
     seed: python int or scalar; lane: uint32 array of lane ids; ctr: python
     int counter (bounce*K + purpose) — static per call site.
     """
+    # The key schedule must be identical whether `seed` is a Python int or a
+    # traced scalar — renders must not depend on jit boundaries.
     if isinstance(seed, int):
         s = jnp.uint32(seed & 0xFFFFFFFF)
-        s2 = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
-    else:  # traced scalar
+    else:
         s = jnp.asarray(seed).astype(jnp.uint32)
-        s2 = s ^ jnp.uint32(0x9E3779B9)
+    s2 = s ^ jnp.uint32(0x9E3779B9)
     x0, x1 = threefry2x32(s, s2, jnp.asarray(lane, jnp.uint32), jnp.uint32(ctr))
     # 24 high bits -> [0, 1) float32 (same construction as jax.random.uniform)
     f0 = (x0 >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))

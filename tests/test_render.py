@@ -1,0 +1,242 @@
+"""End-to-end integrator gates: analytic furnace identities, pt vs
+pt-direct cross-agreement (two independent estimators of the same integral),
+sharded-vs-single-device parity, IBL and camera models."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lumillyrender_tpu.integrator.render import render
+from lumillyrender_tpu.scene.compiler import compile_scene
+from lumillyrender_tpu.scene.loader import parse_config
+
+# A lone convex lambert sphere centered where checker == 1 everywhere on its
+# surface (x,z in [160,170]): a cos-sampled bounce has throughput weight
+# exactly albedo, the ray then escapes (convexity), so L = albedo * sky with
+# ZERO variance — an exact analytic gate through camera/estimator/BSDF/sky.
+FURNACE = """
+[renderer]
+samples = 8
+integrator = "pt"
+
+[film]
+resolution = [48, 48]
+output = "png"
+gamma = 1.0
+
+[sky]
+type = "uniform"
+color = [1, 1, 1]
+
+[camera]
+type = "ideal-pinhole"
+fov = 40
+[[camera.transform]]
+type = "look-at"
+origin = [165, 0, 135]
+target = [165, 0, 165]
+up = [0, 1, 0]
+
+[[object]]
+material = "m"
+mesh = "ball"
+[[object.transform]]
+type = "translate"
+vector = [165, 0, 165]
+
+[[material]]
+name = "m"
+type = "lambert"
+albedo = [ALBEDO, ALBEDO, ALBEDO]
+
+[[mesh]]
+name = "ball"
+type = "sphere"
+radius = 4
+"""
+
+
+def furnace_scene(albedo: float, spp=8):
+    cfg = parse_config(FURNACE.replace("ALBEDO", str(albedo)))
+    return compile_scene(cfg, spp=spp)
+
+
+def test_white_furnace_exact():
+    c = furnace_scene(1.0)
+    r = render(c, seed=3)
+    assert np.abs(r.film - 1.0).max() < 1e-3, (
+        r.film.min(), r.film.max(),
+    )
+
+
+def test_gray_furnace_exact():
+    """Sphere pixels must be EXACTLY albedo (single-bounce convex identity);
+    sky pixels exactly 1."""
+    spp = 8
+    c = furnace_scene(0.37, spp=spp)
+    r = render(c, seed=4)
+    # Every sample is exactly 0.37 (sphere) or 1.0 (sky); every pixel must
+    # lie on the 8-sample mixture lattice (silhouette pixels mix the two).
+    lattice = np.array([(0.37 * k + (spp - k)) / spp for k in range(spp + 1)])
+    dist = np.abs(r.film.reshape(-1, 1) - lattice[None, :]).min(axis=1)
+    assert dist.max() < 1e-3
+    assert np.abs(r.film - 0.37).min() < 1e-3  # sphere actually visible
+
+
+NEE_SCENE = """
+[renderer]
+samples = SPP
+integrator = "INTEGRATOR"
+depth = 5
+depth-limit = 64
+
+[film]
+resolution = [32, 32]
+output = "png"
+
+[sky]
+type = "uniform"
+color = [0, 0, 0]
+
+[camera]
+type = "ideal-pinhole"
+fov = 60
+[[camera.transform]]
+type = "look-at"
+origin = [0, 1, 4]
+target = [0, 1, 0]
+up = [0, 1, 0]
+
+[[light]]
+type = "area"
+object = "lamp"
+emission = [12, 10, 8]
+
+[[object]]
+name = "lamp"
+mesh = "ball"
+material = "black"
+[[object.transform]]
+type = "translate"
+vector = [0, 3.2, 0]
+
+[[object]]
+mesh = "floor"
+material = "white"
+[[object.transform]]
+type = "translate"
+vector = [0, -1000, 0]
+
+[[object]]
+mesh = "ball"
+material = "gray"
+[[object.transform]]
+type = "translate"
+vector = [0.8, 0.6, 0]
+
+[[material]]
+name = "black"
+type = "lambert"
+albedo = [0, 0, 0]
+
+[[material]]
+name = "white"
+type = "lambert"
+albedo = [0.8, 0.8, 0.8]
+
+[[material]]
+name = "gray"
+type = "lambert"
+albedo = [0.5, 0.5, 0.5]
+
+[[mesh]]
+name = "ball"
+type = "sphere"
+radius = 0.6
+
+[[mesh]]
+name = "floor"
+type = "sphere"
+radius = 1000
+"""
+
+
+def nee_scene(integrator: str, spp: int):
+    cfg = parse_config(
+        NEE_SCENE.replace("SPP", str(spp)).replace("INTEGRATOR", integrator)
+    )
+    return compile_scene(cfg)
+
+
+def test_pt_vs_nee_agree():
+    """Both integrators are unbiased estimators of the same image — their
+    means must agree within combined MC error (the renderer's strongest
+    internal cross-check; mirrors the reference's dual-oracle test idea)."""
+    r_pt = render(nee_scene("pt", 768), seed=11)
+    r_nee = render(nee_scene("pt-direct", 192), seed=12)
+    a, b = r_pt.film.mean(axis=2), r_nee.film.mean(axis=2)
+    # Compare low-frequency content: mean brightness of the whole image and
+    # of quadrants (pixel-wise comparison would need huge spp).
+    assert a.mean() > 0.01  # scene is actually lit
+    rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
+    assert rel < 0.1, (a.mean(), b.mean())
+    h, w = a.shape
+    for sy in (slice(0, h // 2), slice(h // 2, h)):
+        for sx in (slice(0, w // 2), slice(w // 2, w)):
+            qa, qb = a[sy, sx].mean(), b[sy, sx].mean()
+            assert abs(qa - qb) / max(qa, 1e-9) < 0.2, (qa, qb)
+
+
+def test_sharded_matches_single_device():
+    """8-way DP must reproduce the single-device film (same global sample
+    ids, only the reduction order differs)."""
+    from lumillyrender_tpu.parallel.shard import render_sharded
+
+    c = nee_scene("pt-direct", 16)
+    r1 = render(c, seed=5)
+    r8 = render_sharded(c, seed=5, n_devices=8, spp_per_device=2)
+    assert np.abs(r1.film - r8.film).max() < 1e-4
+
+
+def test_no_direct_emitter_flag():
+    """no-direct-emitter zeroes emission only at depth 0 (quirk #5): the
+    lamp pixels go dark but indirect lighting stays."""
+    base = parse_config(
+        NEE_SCENE.replace("SPP", "64").replace("INTEGRATOR", "pt-direct")
+    )
+    c1 = compile_scene(base)
+    r1 = render(c1, seed=6)
+    cfg2 = dataclasses.replace(
+        base, renderer=dataclasses.replace(base.renderer, no_direct_emitter=True)
+    )
+    c2 = compile_scene(cfg2)
+    r2 = render(c2, seed=6)
+    # Brightest pixels (the lamp) dim dramatically; scene stays lit.
+    assert r1.film.max() > 5.0  # direct emitter visible
+    assert r2.film.max() < r1.film.max() * 0.5
+    assert r2.film.mean() > 0.005
+
+
+def test_ibl_and_thin_lens(assets_dir):
+    """IBL sky + thin-lens camera + the full material zoo renders finite,
+    non-black output."""
+    c = compile_scene(
+        __import__("lumillyrender_tpu").load_config(assets_dir / "ibl-material.toml"),
+        spp=4,
+    )
+    c.settings = dataclasses.replace(c.settings, width=48, height=36)
+    r = render(c, seed=7)
+    assert np.isfinite(r.film).all()
+    assert r.film.mean() > 0.01
+    assert r.film.max() < 1e4
+
+
+def test_omnidirectional_camera(assets_dir):
+    c = compile_scene(
+        __import__("lumillyrender_tpu").load_config(assets_dir / "vr.toml"), spp=4
+    )
+    c.settings = dataclasses.replace(c.settings, width=48, height=24)
+    r = render(c, seed=8)
+    assert np.isfinite(r.film).all()
+    assert r.film.mean() > 0.001
