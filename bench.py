@@ -30,6 +30,16 @@ RESOLUTION = 256
 def main() -> None:
     import dataclasses
 
+    import jax
+
+    # Persistent compilation cache: first-compile over the TPU tunnel costs
+    # minutes; cached recompiles are seconds.
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from lumillyrender_tpu.integrator.render import _render_chunk
     from lumillyrender_tpu.scene.compiler import compile_scene_file
 
@@ -49,16 +59,17 @@ def main() -> None:
     )
     scene, settings = compiled.data, compiled.settings
 
-    # Warm-up: compile + first execution.
+    # Warm-up: compile + first execution. float() forces completion —
+    # block_until_ready is unreliable over the axon tunnel.
     film, rays = _render_chunk(scene, settings, 0, 0, SPP_CHUNK)
-    film.block_until_ready()
+    float(film.sum())
 
     t0 = time.monotonic()
     total_rays = 0.0
     for i in range(MEASURE_CHUNKS):
         film, rays = _render_chunk(scene, settings, 1 + i, i * SPP_CHUNK, SPP_CHUNK)
         total_rays += float(rays)
-    film.block_until_ready()
+    float(film.sum())
     seconds = time.monotonic() - t0
     value = total_rays / seconds
 

@@ -13,7 +13,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .sah import FlatBvh
+from .sah import FlatBvh, RangeBvh
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "liblumilly_native.so"
@@ -31,16 +31,17 @@ def _load():
             capture_output=True,
         )
     lib = ctypes.CDLL(str(_LIB_PATH))
+    f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.lumilly_bvh_build.restype = ctypes.c_int32
     lib.lumilly_bvh_build.argtypes = [
-        ctypes.c_int32,
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, f64, f64, f64, f32, f32, i32, i32,
+    ]
+    lib.lumilly_bvh_build_ranges.restype = ctypes.c_int32
+    lib.lumilly_bvh_build_ranges.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, f64, f64, f64, f32, f32, i32, i32,
+        i32, i32,
     ]
     _lib = lib
     return lib
@@ -77,4 +78,39 @@ def build(mins: np.ndarray, maxs: np.ndarray, centers: np.ndarray) -> FlatBvh:
     return FlatBvh(
         node_min=node_min, node_max=node_max,
         node_miss=node_miss, node_leaf=node_leaf,
+    )
+
+
+def build_ranges(
+    mins: np.ndarray, maxs: np.ndarray, centers: np.ndarray, max_leaf: int
+) -> RangeBvh:
+    p = int(mins.shape[0])
+    if p == 0:
+        from . import sah
+
+        return sah.build_ranges(mins, maxs, centers, max_leaf)
+    lib = _load()
+    mins = np.ascontiguousarray(mins, np.float64)
+    maxs = np.ascontiguousarray(maxs, np.float64)
+    centers = np.ascontiguousarray(centers, np.float64)
+    cap = 2 * p - 1
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    node_miss = np.empty((cap,), np.int32)
+    leaf_start = np.empty((cap,), np.int32)
+    leaf_count = np.empty((cap,), np.int32)
+    perm = np.empty((p,), np.int32)
+    count = lib.lumilly_bvh_build_ranges(
+        p, max_leaf, mins, maxs, centers, node_min, node_max, node_miss,
+        leaf_start, leaf_count, perm,
+    )
+    if count <= 0:
+        raise RuntimeError(f"native BVH range build failed: {count}")
+    return RangeBvh(
+        node_min=node_min[:count].copy(),
+        node_max=node_max[:count].copy(),
+        node_miss=node_miss[:count].copy(),
+        leaf_start=leaf_start[:count].copy(),
+        leaf_count=leaf_count[:count].copy(),
+        perm=perm,
     )

@@ -138,6 +138,119 @@ def build(mins: np.ndarray, maxs: np.ndarray, centers: np.ndarray) -> FlatBvh:
     )
 
 
+@dataclass
+class RangeBvh:
+    """Flattened threaded BVH whose leaves are primitive RANGES (treelets).
+
+    Leaves cover `perm[leaf_start[i] : leaf_start[i]+leaf_count[i]]`;
+    `perm` is the SAH-sorted primitive permutation. The device layout packs
+    each leaf range into a fixed-K block (see scene/compiler.py) so a leaf
+    visit is one contiguous block gather + K dense intersections — the
+    TPU-friendly alternative to per-prim leaves.
+    """
+
+    node_min: np.ndarray  # (N, 3) f32
+    node_max: np.ndarray  # (N, 3) f32
+    node_miss: np.ndarray  # (N,) i32
+    leaf_start: np.ndarray  # (N,) i32, -1 for inner nodes
+    leaf_count: np.ndarray  # (N,) i32, 0 for inner nodes
+    perm: np.ndarray  # (P,) i32
+
+
+def build_ranges(mins, maxs, centers, max_leaf: int = 16) -> RangeBvh:
+    """SAH build that stops splitting at `max_leaf` prims per leaf.
+
+    Same split criterion as `build` (reference cost model); only the leaf
+    threshold differs (the reference always splits to 1, `bvh.rs:76-78` —
+    treelets are a TPU performance layout, not a behavior change: traversal
+    output is identical).
+    """
+    p = mins.shape[0]
+    if p == 0:
+        return RangeBvh(
+            node_min=np.zeros((1, 3), np.float32),
+            node_max=np.zeros((1, 3), np.float32),
+            node_miss=np.full((1,), -1, np.int32),
+            leaf_start=np.zeros((1,), np.int32),
+            leaf_count=np.zeros((1,), np.int32),
+            perm=np.zeros((0,), np.int32),
+        )
+    mins = np.asarray(mins, dtype=np.float64)
+    maxs = np.asarray(maxs, dtype=np.float64)
+    centers = np.asarray(centers, dtype=np.float64)
+
+    node_min, node_max, node_miss = [], [], []
+    leaf_start, leaf_count = [], []
+    perm = np.arange(p)
+
+    # (lo, hi, miss, resolved) stack over slices of `perm`; two-pass since
+    # subtree sizes are data-dependent with range leaves: we patch miss
+    # links with a placeholder scheme using per-node subtree extents.
+    # Simpler: recursive emission with explicit stack and a second pass to
+    # fix miss links via subtree sizes recorded during emission.
+    sizes: list[int] = []  # subtree node count per emitted node
+
+    def emit(lo: int, hi: int) -> int:
+        idx = len(node_min)
+        n = hi - lo
+        if n <= max_leaf:
+            pm = mins[perm[lo:hi]]
+            px = maxs[perm[lo:hi]]
+            node_min.append(pm.min(axis=0))
+            node_max.append(px.max(axis=0))
+            node_miss.append(-1)  # fixed up below
+            leaf_start.append(lo)
+            leaf_count.append(n)
+            sizes.append(1)
+            return idx
+        order, split, pmin, pmax = _choose_split(
+            mins[perm[lo:hi]], maxs[perm[lo:hi]], centers[perm[lo:hi]]
+        )
+        perm[lo:hi] = perm[lo:hi][order]
+        node_min.append(pmin)
+        node_max.append(pmax)
+        node_miss.append(-1)
+        leaf_start.append(-1)
+        leaf_count.append(0)
+        sizes.append(0)  # placeholder
+        left = emit(lo, lo + split)
+        right = emit(lo + split, hi)
+        sizes[idx] = 1 + sizes[left] + sizes[right]
+        return idx
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * p + 1000))
+    try:
+        emit(0, p)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    n_nodes = len(node_min)
+    miss = np.full(n_nodes, -1, np.int32)
+    # miss[i] = next node after i's subtree, or parent's miss; computed by a
+    # DFS walk using subtree sizes.
+    stack = [(0, -1)]
+    while stack:
+        i, m = stack.pop()
+        miss[i] = m
+        if leaf_start[i] < 0:  # inner: children at i+1 and i+1+sizes[i+1]
+            left = i + 1
+            right = left + sizes[left]
+            stack.append((right, m))
+            stack.append((left, right))
+
+    return RangeBvh(
+        node_min=np.asarray(node_min, np.float32),
+        node_max=np.asarray(node_max, np.float32),
+        node_miss=miss,
+        leaf_start=np.asarray(leaf_start, np.int32),
+        leaf_count=np.asarray(leaf_count, np.int32),
+        perm=perm.astype(np.int32),
+    )
+
+
 def prim_aabbs(tri_p0, tri_e1, tri_e2, sph_c, sph_r):
     """AABBs for the unified prim table (tris then spheres).
 

@@ -34,11 +34,28 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--devices", type=int, default=0,
                         help="Shard across N devices (0 = single device)")
+    parser.add_argument("--aov", choices=("normal", "depth"), default=None,
+                        help="Render a debug AOV instead of radiance")
+    parser.add_argument("--checkpoint", default=None,
+                        help="Checkpoint file: saves film+sample counter; resumes if present")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="Checkpoint every N samples (default: every chunk)")
     args = parser.parse_args(argv)
 
     t0 = time.time()
     print(f"start: {time.strftime('%Y-%m-%dT%H:%M:%S%z')}")
     print(f"loading: {args.scene}")
+
+    import jax
+
+    cache_dir = Path(__file__).resolve().parents[1] / ".jax_cache"
+    try:
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization only
 
     from .scene.compiler import compile_scene_file
 
@@ -53,6 +70,8 @@ def main(argv=None) -> int:
         compiled.settings = dataclasses.replace(
             compiled.settings, width=args.resolution[0], height=args.resolution[1]
         )
+    if args.aov:
+        compiled.settings = dataclasses.replace(compiled.settings, integrator=args.aov)
     s = compiled.settings
     print(f"resolution: {s.width}x{s.height}")
     print(f"spp: {s.spp}")
@@ -68,7 +87,8 @@ def main(argv=None) -> int:
         from .integrator.render import render
 
         result = render(
-            compiled, seed=args.seed, spp_chunk=args.spp_chunk, progress=True
+            compiled, seed=args.seed, spp_chunk=args.spp_chunk, progress=True,
+            checkpoint=args.checkpoint, checkpoint_every=args.checkpoint_every,
         )
 
     print("saving...")

@@ -21,17 +21,20 @@ from ..ops import camera as camera_ops
 from ..ops import rng
 from ..scene.compiler import CompiledScene
 from ..scene.data import RenderSettings, SceneData
-from .wavefront import trace
+from .wavefront import trace_film
 
 
 def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
-                      sample_offset: int, spp_chunk: int):
-    """Render `spp_chunk` samples for every pixel; returns (film_sum, rays)."""
+                      sample_offset, spp_chunk: int):
+    """Render `spp_chunk` samples for every pixel; returns (film_sum, rays).
+
+    `sample_offset` is traced (not static): chunked renders reuse one
+    compiled program."""
     w, h = settings.width, settings.height
     n = w * h * spp_chunk
     lane = jnp.arange(n, dtype=jnp.uint32)
     # Lane ids must be globally unique across chunks for RNG decorrelation.
-    glane = lane + jnp.uint32(sample_offset * w * h)
+    glane = lane + jnp.asarray(sample_offset, jnp.uint32) * jnp.uint32(w * h)
 
     px = (lane % w).astype(jnp.int32)
     py = ((lane // w) % h).astype(jnp.int32)
@@ -43,15 +46,24 @@ def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
         scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )
 
-    radiance, rays = trace(scene, settings, o, d, glane, seed)
-    weight = (g * scene.camera.sensor_sensitivity / pdf)[..., None]
-    contrib = radiance * weight
-    film = jnp.sum(contrib.reshape(spp_chunk, h, w, 3), axis=0)
-    return film, rays + jnp.float32(n)  # camera rays count too
+    if settings.integrator in ("normal", "depth"):
+        from .wavefront import aov
+
+        val = aov(scene, settings, o, d)
+        film = jnp.zeros((w * h, 3), val.dtype).at[
+            (glane % jnp.uint32(w * h)).astype(jnp.int32)
+        ].add(val)
+        return film.reshape(h, w, 3), jnp.float32(n)
+
+    weight = g * scene.camera.sensor_sensitivity / pdf
+    film_flat, rays = trace_film(
+        scene, settings, o, d, glane, seed, weight, n_pixels=w * h
+    )
+    return film_flat.reshape(h, w, 3), rays + jnp.float32(n)  # + camera rays
 
 
 _render_chunk = jax.jit(
-    render_chunk_impl, static_argnames=("settings", "spp_chunk", "sample_offset")
+    render_chunk_impl, static_argnames=("settings", "spp_chunk")
 )
 
 
@@ -72,7 +84,11 @@ def default_spp_chunk(settings: RenderSettings, budget_lanes: int = 1 << 21) -> 
 
 
 def render(compiled: CompiledScene, seed: int = 0, spp_chunk: int | None = None,
-           progress: bool = False) -> RenderResult:
+           progress: bool = False, checkpoint: str | None = None,
+           checkpoint_every: int = 0) -> RenderResult:
+    """Render the film. With `checkpoint`, the film sum + sample counter are
+    periodically persisted and a matching checkpoint resumes exactly
+    (counter-based RNG; see utils/checkpoint.py)."""
     settings = compiled.settings
     scene = compiled.data
     if spp_chunk is None:
@@ -80,20 +96,40 @@ def render(compiled: CompiledScene, seed: int = 0, spp_chunk: int | None = None,
 
     film = jnp.zeros((settings.height, settings.width, 3), jnp.float32)
     total_rays = 0.0
-    t0 = time.monotonic()
     done = 0
+    if checkpoint:
+        from ..utils import checkpoint as ckpt
+
+        state = ckpt.load(checkpoint, settings, seed)
+        if state is not None:
+            film_sum, done, total_rays = state
+            film = jnp.asarray(film_sum)
+            if progress:
+                print(f"  resumed at {done}/{settings.spp} spp")
+    since_ckpt = 0
+    t0 = time.monotonic()
     while done < settings.spp:
         cur = min(spp_chunk, settings.spp - done)
         part, rays = _render_chunk(scene, settings, seed, done, cur)
         film = film + part
         total_rays += float(rays)
         done += cur
+        since_ckpt += cur
+        if checkpoint and (since_ckpt >= max(checkpoint_every, spp_chunk)
+                           or done >= settings.spp):
+            from ..utils import checkpoint as ckpt
+
+            ckpt.save(checkpoint, np.asarray(film), done, seed, settings,
+                      total_rays)
+            since_ckpt = 0
         if progress:
             print(f"\r  {done}/{settings.spp} spp", end="", flush=True)
-    film.block_until_ready()
+    # device_get forces completion (block_until_ready is unreliable over the
+    # axon tunnel backend).
+    film_np = np.asarray(film)
     seconds = time.monotonic() - t0
     if progress:
         print()
     return RenderResult(
-        film=np.asarray(film) / settings.spp, seconds=seconds, rays=total_rays
+        film=film_np / max(done, 1), seconds=seconds, rays=total_rays
     )

@@ -45,6 +45,7 @@ class PathState(NamedTuple):
     accum: jax.Array  # (N, 3)
     alive: jax.Array  # (N,) bool
     rays_traced: jax.Array  # () int64-ish counter (float32 to stay cheap)
+    lane: jax.Array  # (N,) uint32 original lane id (RNG stream + pixel id)
 
 
 def _russian_roulette(weight, bounce, settings: RenderSettings):
@@ -140,7 +141,7 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def make_bounce_step(scene: SceneData, settings: RenderSettings, lane, seed,
+def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
                      mats_eval=None):
     """Build the per-bounce transition function over PathState.
 
@@ -154,6 +155,7 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, lane, seed,
 
     def step(state: PathState) -> PathState:
         bounce = state.bounce
+        lane = state.lane
         ctr = bounce * _SLOTS
 
         hit = intersect(state.o, state.d, scene.geometry, scene.bvh, settings.intersector)
@@ -221,6 +223,7 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, lane, seed,
             accum=accum,
             alive=alive,
             rays_traced=rays,
+            lane=lane,
         )
 
     return step
@@ -239,8 +242,9 @@ def trace(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
         accum=jnp.zeros((n, 3), o.dtype),
         alive=jnp.ones((n,), bool),
         rays_traced=jnp.float32(0.0),
+        lane=jnp.asarray(lane, jnp.uint32),
     )
-    step = make_bounce_step(scene, settings, lane, seed, mats_eval=mats_eval)
+    step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval)
 
     if differentiable:
         def scan_step(s, _):
@@ -254,3 +258,127 @@ def trace(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
             state,
         )
     return state.accum, state.rays_traced
+
+
+def aov(scene: SceneData, settings: RenderSettings, o, d):
+    """Debug AOV integrators (`scene.rs:48-62`): "normal" maps the hit
+    normal to [0,1]^3, "depth" returns the hit distance (0 on miss). Dead
+    code in the reference (never dispatched from main.rs) — exposed here via
+    the CLI --aov flag for capability parity."""
+    hit = intersect(o, d, scene.geometry, scene.bvh, settings.intersector)
+    sp = shade_point(o, d, hit, scene.geometry)
+    if settings.integrator == "normal":
+        val = sp.normal / 2.0 + 0.5
+        return jnp.where(sp.hit[..., None], val, 0.0)
+    t = jnp.where(sp.hit, hit.t, 0.0)
+    return jnp.broadcast_to(t[..., None], t.shape + (3,))
+
+
+# ---------------------------------------------------------------------------
+# Staged wavefront compaction (SURVEY §7 hard-part #2)
+# ---------------------------------------------------------------------------
+
+
+def _stage_plan(n: int, settings: RenderSettings):
+    """Static (width, first_bounce, last_bounce) stages.
+
+    Widths shrink as Russian roulette kills paths; capacities are sized so
+    overflow (which triggers population-control RR) is rare for typical
+    albedos, and every width stays lane-aligned.
+    """
+    def cap(div):
+        return max(4096, (n // div + 255) // 256 * 256)
+
+    d = settings.depth
+    mb = settings.max_bounces
+    plan = []
+    cuts = [
+        (n, 0, min(d + 3, mb)),
+        (cap(4), min(d + 3, mb), min(d + 15, mb)),
+        (cap(16), min(d + 15, mb), min(d + 35, mb)),
+        (cap(64), min(d + 35, mb), mb),
+    ]
+    for w, b0, b1 in cuts:
+        if b1 > b0:
+            plan.append((min(w, n), b0, b1))
+    return tuple(plan)
+
+
+def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
+    """Shrink the wavefront to `width` slots, keeping a uniformly random
+    subset of the live lanes when they overflow capacity and reweighting
+    survivors by alive/width (population-control Russian roulette —
+    exactly unbiased; weight 1 when everything fits)."""
+    # Random permutation among alive lanes: sort by (dead, hash).
+    u = rng.uniform(seed, state.lane, ctr)
+    key = jnp.where(state.alive, u, 2.0)  # dead lanes sort last
+    order = jnp.argsort(key)[:width]
+
+    a = jnp.sum(state.alive.astype(jnp.float32))
+    scale = jnp.maximum(a / jnp.float32(width), 1.0)
+
+    take = lambda arr: jnp.take(arr, order, axis=0)
+    alive = take(state.alive)
+    return PathState(
+        bounce=state.bounce,
+        o=take(state.o),
+        d=take(state.d),
+        throughput=take(state.throughput) * scale,
+        accum=jnp.zeros((width, 3), state.accum.dtype),
+        alive=alive,
+        rays_traced=state.rays_traced,
+        lane=take(state.lane),
+    )
+
+
+def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
+               weight0, n_pixels: int):
+    """Trace a wavefront and accumulate directly into a flat pixel buffer.
+
+    `weight0` (N,) is the camera estimator weight (g * sensitivity / pdf),
+    folded into the initial throughput so per-lane radiance never needs to
+    be materialized. Returns (film_flat (n_pixels, 3) SUM over lanes, rays).
+
+    With settings.compaction == "pop-rr" the wavefront shrinks at staged
+    bounce depths: contributions are banked into the film by scatter-add at
+    every stage boundary, live lanes are compacted via a random permutation,
+    and capacity overflow applies population-control RR (unbiased).
+    """
+    n = o.shape[0]
+    lane = jnp.asarray(lane, jnp.uint32)
+    state = PathState(
+        bounce=jnp.int32(0),
+        o=o,
+        d=d,
+        throughput=jnp.ones((n, 3), o.dtype) * weight0[..., None],
+        accum=jnp.zeros((n, 3), o.dtype),
+        alive=jnp.ones((n,), bool),
+        rays_traced=jnp.float32(0.0),
+        lane=lane,
+    )
+    step = make_bounce_step(scene, settings, seed)
+    film = jnp.zeros((n_pixels, 3), o.dtype)
+
+    def bank(film, st: PathState):
+        pix = (st.lane % jnp.uint32(n_pixels)).astype(jnp.int32)
+        return film.at[pix].add(st.accum)
+
+    if settings.compaction != "pop-rr":
+        state = jax.lax.while_loop(
+            lambda s: jnp.any(s.alive) & (s.bounce < settings.max_bounces),
+            step,
+            state,
+        )
+        return bank(film, state), state.rays_traced
+
+    for si, (width, b0, b1) in enumerate(_stage_plan(n, settings)):
+        if width != state.alive.shape[0]:
+            film = bank(film, state)
+            state = _compact(state, width, seed, 0x50000000 + si)
+        state = jax.lax.while_loop(
+            lambda s: jnp.any(s.alive) & (s.bounce < b1),
+            step,
+            state,
+        )
+    film = bank(film, state)
+    return film, state.rays_traced

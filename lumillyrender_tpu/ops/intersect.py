@@ -148,72 +148,177 @@ def intersect_brute(o, d, geom: Geometry, chunk: int = 256) -> Hit:
     return Hit(t=best_t, prim=best_p)
 
 
-def _prim_t(o, d, prim, geom: Geometry):
-    """Intersect each lane with one gathered primitive. o,d: (N,3); prim (N,)."""
+def _sphere_brute(o, d, geom: Geometry, best_t, best_p, chunk: int = 64):
+    """Fold all spheres into the running (best_t, best_p). Spheres stay
+    brute-force even in BVH mode: scenes carry a handful of analytic
+    spheres, never enough to warrant tree nodes."""
+    ns = geom.sph_c.shape[0]
+    if not ns:
+        return best_t, best_p
     nt = geom.tri_p0.shape[0]
-    is_tri = prim < nt
-    tid = jnp.clip(prim, 0, max(nt - 1, 0))
-    sid = jnp.clip(prim - nt, 0, max(geom.sph_c.shape[0] - 1, 0))
+    c = min(chunk, max(8, ns))
+    pad_n = (-ns) % c
+    sc = jnp.concatenate([geom.sph_c, jnp.zeros((pad_n, 3), geom.sph_c.dtype)], 0)
+    sr = jnp.concatenate([geom.sph_r, jnp.zeros((pad_n,), geom.sph_r.dtype)], 0)
+    t = _sph_t(o[:, None, :], d[:, None, :], sc[None], sr[None])  # (N, ns+pad)
+    j = jnp.argmin(t, axis=1)
+    tmin = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+    upd = tmin < best_t
+    return (
+        jnp.where(upd, tmin, best_t),
+        jnp.where(upd, nt + j.astype(jnp.int32), best_p),
+    )
 
-    t_out = jnp.full(prim.shape, INF, o.dtype)
-    if nt:
-        p0 = jnp.take(geom.tri_p0, tid, axis=0)
-        e1 = jnp.take(geom.tri_e1, tid, axis=0)
-        e2 = jnp.take(geom.tri_e2, tid, axis=0)
-        tt = _tri_t(o[:, None], d[:, None], p0[:, None], e1[:, None], e2[:, None])[:, 0]
-        t_out = jnp.where(is_tri, tt, t_out)
-    if geom.sph_c.shape[0]:
-        c = jnp.take(geom.sph_c, sid, axis=0)
-        r = jnp.take(geom.sph_r, sid, axis=0)
-        ts = _sph_t(o[:, None], d[:, None], c[:, None], r[:, None])[:, 0]
-        t_out = jnp.where(is_tri, t_out, ts)
-    return t_out
+
+_CAND_B = 4  # candidate treelet slots per lane between flushes
+_WALK_S = 16  # node-walk steps per outer iteration
 
 
 def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
-    """Stackless cursor traversal of the threaded BVH. o,d: (N,3)."""
+    """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
+
+    TPU gathers run far below streaming bandwidth, so the inner walk touches
+    ONLY a packed 8-float node row per lane per step, buffering up to B hit
+    treelet ids; every S steps the buffer is flushed — B contiguous block
+    gathers + B*K dense MT tests — and best_t tightens (pruning later
+    subtrees). Lanes with a full buffer stall until the next flush; no
+    candidate is ever dropped, so the nearest hit matches brute force
+    exactly. (Echoes the reference's collect-then-test `bvh.rs:131-141`,
+    minus its per-ray Vec allocation and unordered full test.)
+    """
     n = o.shape[0]
     inv_d = 1.0 / d  # IEEE inf on zero components, like the reference slab test
 
-    def cond(state):
-        node, _, _ = state
-        return jnp.any(node >= 0)
-
-    def body(state):
-        node, best_t, best_p = state
-        active = node >= 0
-        idx = jnp.maximum(node, 0)
-        nmin = jnp.take(bvh.node_min, idx, axis=0)
-        nmax = jnp.take(bvh.node_max, idx, axis=0)
-        miss = jnp.take(bvh.node_miss, idx, axis=0)
-        leaf = jnp.take(bvh.node_leaf, idx, axis=0)
-
-        t1 = (nmin - o) * inv_d
-        t2 = (nmax - o) * inv_d
-        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        # Ordered pruning (reference has none — same nearest hit, fewer
-        # visits): the box can't contain a closer valid hit unless its slab
-        # interval intersects [EPS, best_t].
-        box_hit = (tmin <= tmax) & (tmax >= EPS) & (tmin < best_t)
-
-        is_leaf = leaf >= 0
-        do_prim = active & box_hit & is_leaf
-        pt = _prim_t(o, d, jnp.maximum(leaf, 0), geom)
-        upd = do_prim & (pt < best_t)
-        best_t = jnp.where(upd, pt, best_t)
-        best_p = jnp.where(upd, leaf, best_p)
-
-        descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, node + 1, miss)
-        node = jnp.where(active, nxt, node)
-        return node, best_t, best_p
-
-    node0 = jnp.zeros((n,), jnp.int32)
     best_t0 = jnp.full((n,), INF, o.dtype)
     best_p0 = jnp.full((n,), -1, jnp.int32)
-    _, best_t, best_p = jax.lax.while_loop(cond, body, (node0, best_t0, best_p0))
-    return Hit(t=best_t, prim=best_p)
+    best_t0, best_p0 = _sphere_brute(o, d, geom, best_t0, best_p0)
+
+    if geom.tri_p0.shape[0] == 0:
+        return Hit(t=best_t0, prim=jnp.where(best_t0 < INF, best_p0, -1))
+
+    # Packed node row: min(3) max(3) miss leaf — one gather per step. Links
+    # are exact as f32 (node/block counts stay far below 2^24).
+    nodes8 = jnp.concatenate(
+        [
+            bvh.node_min,
+            bvh.node_max,
+            bvh.node_miss.astype(o.dtype)[:, None],
+            bvh.node_leaf.astype(o.dtype)[:, None],
+        ],
+        axis=1,
+    )
+    o_l = o[:, None, :]
+    d_l = d[:, None, :]
+    def make_body(width):
+        o_w = None  # bound below per stage via closure over gathered rays
+
+        def body(state):
+            node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots = state
+
+            def walk(carry, _):
+                node, best_t, cand, ncand = carry
+                active = (node >= 0) & (ncand < _CAND_B)
+                row = jnp.take(nodes8, jnp.maximum(node, 0), axis=0)
+                nmin, nmax = row[:, 0:3], row[:, 3:6]
+                miss = row[:, 6].astype(jnp.int32)
+                leaf = row[:, 7].astype(jnp.int32)
+                t1 = (nmin - o_s) * inv_s
+                t2 = (nmax - o_s) * inv_s
+                tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+                tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+                box_hit = (tmin <= tmax) & (tmax >= EPS) & (tmin < best_t)
+                is_leaf = leaf >= 0
+                push = active & box_hit & is_leaf
+                si = jax.lax.broadcasted_iota(jnp.int32, (width, _CAND_B), 1)
+                cand = jnp.where(
+                    push[:, None] & (si == ncand[:, None]), leaf[:, None], cand
+                )
+                ncand = ncand + push.astype(jnp.int32)
+                descend = box_hit & ~is_leaf
+                node = jnp.where(active, jnp.where(descend, node + 1, miss), node)
+                return (node, best_t, cand, ncand), None
+
+            (node, best_t, cand, ncand), _ = jax.lax.scan(
+                walk, (node, best_t, cand, ncand), None, length=_WALK_S
+            )
+            for b in range(_CAND_B):
+                cb = cand[:, b]
+                have = cb >= 0
+                blk = jnp.maximum(cb, 0)
+                p0 = jnp.take(bvh.blk_p0, blk, axis=0)
+                e1 = jnp.take(bvh.blk_e1, blk, axis=0)
+                e2 = jnp.take(bvh.blk_e2, blk, axis=0)
+                prim = jnp.take(bvh.blk_prim, blk, axis=0)
+                t = _tri_t(o_s[:, None, :], d_s[:, None, :], p0, e1, e2)
+                t = jnp.where(prim >= 0, t, INF)
+                j = jnp.argmin(t, axis=1)
+                tmin_blk = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+                pid = jnp.take_along_axis(prim, j[:, None], axis=1)[:, 0]
+                upd = have & (tmin_blk < best_t)
+                best_t = jnp.where(upd, tmin_blk, best_t)
+                best_p = jnp.where(upd, pid, best_p)
+            cand = jnp.full((width, _CAND_B), -1, jnp.int32)
+            ncand = jnp.zeros((width,), jnp.int32)
+            return node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots
+
+        return body
+
+    # Straggler compaction: stage widths shrink as lanes finish traversal
+    # (p50 of node visits is tiny, the tail is long — SIMD pays for the
+    # worst lane, so shrink the wavefront instead of waiting). Each stage
+    # runs until the active count fits the next width, then compacts; final
+    # results scatter back by slot id. Exact — no lane is ever dropped.
+    widths = []
+    w = n
+    while True:
+        widths.append(w)
+        if w <= 4096:
+            break
+        w = max(4096, w // 8)
+
+    res_t = best_t0
+    res_p = best_p0
+    state = (
+        jnp.zeros((n,), jnp.int32),
+        best_t0,
+        best_p0,
+        jnp.full((n, _CAND_B), -1, jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+        o,
+        d,
+        inv_d,
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    for i, w in enumerate(widths):
+        nxt = widths[i + 1] if i + 1 < len(widths) else 0
+
+        def cond(s, nxt=nxt):
+            node, _, _, _, ncand = s[0], s[1], s[2], s[3], s[4]
+            active = (node >= 0) | (ncand > 0)
+            return jnp.any(active) & (jnp.sum(active.astype(jnp.int32)) > nxt)
+
+        state = jax.lax.while_loop(cond, make_body(w), state)
+        node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots = state
+        res_t = res_t.at[slots].set(best_t)
+        res_p = res_p.at[slots].set(best_p)
+        if nxt:
+            active = (node >= 0) | (ncand > 0)
+            order = jnp.argsort(~active)[:nxt]  # actives first (stable)
+            state = (
+                jnp.take(node, order),
+                jnp.take(best_t, order),
+                jnp.take(best_p, order),
+                jnp.take(cand, order, axis=0),
+                jnp.take(ncand, order),
+                jnp.take(o_s, order, axis=0),
+                jnp.take(d_s, order, axis=0),
+                jnp.take(inv_s, order, axis=0),
+                jnp.take(slots, order),
+            )
+    node, best_t, best_p, _, _, _, _, _, slots = state
+    res_t = res_t.at[slots].set(best_t)
+    res_p = res_p.at[slots].set(best_p)
+    return Hit(t=res_t, prim=jnp.where(res_t < INF, res_p, -1))
 
 
 def intersect(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto") -> Hit:

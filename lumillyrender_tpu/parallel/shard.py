@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..integrator.render import RenderResult
-from ..integrator.wavefront import trace
+from ..integrator.wavefront import trace_film
 from ..ops import camera as camera_ops
 from ..ops import rng
 from ..scene.compiler import CompiledScene
@@ -57,10 +57,11 @@ def _chunk_body(scene: SceneData, settings: RenderSettings, seed, offsets):
     o, d, pdf, g = camera_ops.sample_rays(
         scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )
-    radiance, rays = trace(scene, settings, o, d, glane, seed)
-    weight = (g * scene.camera.sensor_sensitivity / pdf)[..., None]
-    film = jnp.sum((radiance * weight).reshape(spp_local, h, w, 3), axis=0)
-    return film, rays + jnp.float32(n)
+    weight = g * scene.camera.sensor_sensitivity / pdf
+    film_flat, rays = trace_film(
+        scene, settings, o, d, glane, seed, weight, n_pixels=w * h
+    )
+    return film_flat.reshape(h, w, 3), rays + jnp.float32(n)
 
 
 def build_sharded_render(mesh: Mesh, settings: RenderSettings, spp_chunk: int):

@@ -287,14 +287,11 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
         total_area=np.float64(total_area),
     )
 
-    # BVH over the unified prim table.
+    # Treelet BVH over triangles (spheres stay brute-force in traversal).
     t_bvh = time.monotonic()
-    mins, maxs, centers = sah.prim_aabbs(p0, e1, e2, s_c, s_r)
-    flat = _build_bvh(mins, maxs, centers)
-    bvh = Bvh(
-        node_min=flat.node_min, node_max=flat.node_max,
-        node_miss=flat.node_miss, node_leaf=flat.node_leaf,
-    )
+    from ..accel.pack import build_tri_bvh
+
+    bvh = Bvh(**build_tri_bvh(p0, e1, e2))
     bvh_seconds = time.monotonic() - t_bvh
 
     # Sky (`description.rs:58-65`; missing [sky] -> black uniform).
@@ -347,16 +344,6 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
     return CompiledScene(
         data=as_device(scene_np), settings=settings, config=config, stats=stats
     )
-
-
-def _build_bvh(mins, maxs, centers):
-    """SAH build; prefers the native C++ builder, falls back to numpy."""
-    try:
-        from ..accel import native as native_bvh
-
-        return native_bvh.build(mins, maxs, centers)
-    except Exception:
-        return sah.build(mins, maxs, centers)
 
 
 def compile_scene_file(path, spp: int | None = None) -> CompiledScene:

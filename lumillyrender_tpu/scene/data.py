@@ -73,18 +73,26 @@ class LightTable:
 
 @dataclass
 class Bvh:
-    """Flattened threaded (stackless) BVH in DFS order.
+    """Flattened threaded (stackless) treelet BVH over triangles, DFS order.
 
     Traversal state is a single node cursor: on AABB hit at an inner node
-    advance to `i+1`; otherwise (miss, or after intersecting a leaf) jump to
-    `miss[i]`; -1 terminates. Built host-side with the reference's exact SAH
-    cost model (`bvh.rs:69-127`); see `accel/sah.py`.
+    advance to `i+1`; otherwise (miss, or after visiting a leaf) jump to
+    `miss[i]`; -1 terminates. Leaves are fixed-K treelet blocks: one
+    contiguous gather fetches K triangles which are tested densely on the
+    VPU — the TPU answer to the reference's pointer-chasing traversal
+    (`bvh.rs:131-141`). Built host-side with the reference's exact SAH cost
+    model (`bvh.rs:69-127`); see `accel/sah.py` + `accel/pack.py`. Spheres
+    are intersected brute-force (scenes have few analytic spheres).
     """
 
     node_min: jax.Array  # (N, 3)
     node_max: jax.Array  # (N, 3)
     node_miss: jax.Array  # (N,) int32
-    node_leaf: jax.Array  # (N,) int32 prim id, or -1 for inner nodes
+    node_leaf: jax.Array  # (N,) int32 block id, or -1 for inner nodes
+    blk_p0: jax.Array  # (L, K, 3)
+    blk_e1: jax.Array  # (L, K, 3)
+    blk_e2: jax.Array  # (L, K, 3)
+    blk_prim: jax.Array  # (L, K) int32 original tri prim id, -1 padding
 
 
 @dataclass
@@ -143,6 +151,11 @@ class RenderSettings:
     max_bounces: int = 80
     # Intersector: "auto" picks brute force for small scenes, bvh otherwise.
     intersector: str = "auto"
+    # Wavefront compaction: shrink the live wavefront at staged bounce
+    # depths so dead lanes stop costing SIMD work (SURVEY §7 "hard part 2").
+    # "pop-rr" = staged compaction with population-control Russian roulette
+    # on capacity overflow (unbiased); "off" = plain masked loop.
+    compaction: str = "pop-rr"
 
 
 for _cls in (MaterialTable, Geometry, LightTable, Bvh, SkyData, CameraData, SceneData):

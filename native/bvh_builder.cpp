@@ -155,9 +155,98 @@ struct Builder {
   }
 };
 
+// Range-leaf (treelet) variant: leaves hold [leaf_start, leaf_start+count)
+// ranges of the SAH-sorted permutation. Same split criterion; splitting
+// stops at max_leaf prims. Two-phase: preorder emission recording subtree
+// sizes, then a miss-link fix-up walk (mirrors accel/sah.py build_ranges).
+struct RangeBuilder : Builder {
+  int32_t* leaf_start;
+  int32_t* leaf_count;
+  std::vector<int32_t> subtree;  // node count per subtree
+  int max_leaf = 16;
+
+  int emit_sized(int lo, int hi) {
+    const int idx = next_index++;
+    subtree.push_back(0);
+    if (hi - lo <= max_leaf) {
+      leaf_start[idx] = lo;
+      leaf_count[idx] = hi - lo;
+      V3 mn = mins[ids[lo]], mx = maxs[ids[lo]];
+      for (int i = lo; i < hi; ++i) {
+        mn = vmin(mn, mins[ids[i]]);
+        mx = vmax(mx, maxs[ids[i]]);
+      }
+      store_bounds(idx, mn, mx);
+      subtree[idx] = 1;
+      return 1;
+    }
+    leaf_start[idx] = -1;
+    leaf_count[idx] = 0;
+    V3 mn, mx;
+    const int split = choose_split(lo, hi, &mn, &mx);
+    store_bounds(idx, mn, mx);
+    const int l = emit_sized(lo, lo + split);
+    const int r = emit_sized(lo + split, hi);
+    subtree[idx] = 1 + l + r;
+    return subtree[idx];
+  }
+
+  void fix_miss_links() {
+    struct Frame {
+      int32_t node, miss;
+    };
+    std::vector<Frame> stack;
+    stack.push_back({0, -1});
+    while (!stack.empty()) {
+      const Frame f = stack.back();
+      stack.pop_back();
+      node_miss[f.node] = f.miss;
+      if (leaf_start[f.node] < 0) {
+        const int32_t left = f.node + 1;
+        const int32_t right = left + subtree[left];
+        stack.push_back({right, f.miss});
+        stack.push_back({left, right});
+      }
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Treelet build. Output arrays sized for the worst case (2p-1 nodes);
+// returns the actual node count, or -1 on error. `perm` receives the
+// SAH-sorted primitive permutation (length p).
+int32_t lumilly_bvh_build_ranges(int32_t p, int32_t max_leaf,
+                                 const double* mins, const double* maxs,
+                                 const double* cents, float* node_min,
+                                 float* node_max, int32_t* node_miss,
+                                 int32_t* leaf_start, int32_t* leaf_count,
+                                 int32_t* perm) {
+  if (p <= 0 || max_leaf <= 0) return -1;
+  RangeBuilder b;
+  b.mins = reinterpret_cast<const V3*>(mins);
+  b.maxs = reinterpret_cast<const V3*>(maxs);
+  b.cents = reinterpret_cast<const V3*>(cents);
+  b.node_min = node_min;
+  b.node_max = node_max;
+  b.node_miss = node_miss;
+  b.node_leaf = nullptr;
+  b.leaf_start = leaf_start;
+  b.leaf_count = leaf_count;
+  b.max_leaf = max_leaf;
+  b.ids.resize(p);
+  for (int32_t i = 0; i < p; ++i) b.ids[i] = i;
+  b.scratch.reserve(p);
+  b.s1_area.resize(p);
+  b.s2_area.resize(p);
+  b.subtree.reserve(2 * p - 1);
+  b.emit_sized(0, p);
+  b.fix_miss_links();
+  std::memcpy(perm, b.ids.data(), sizeof(int32_t) * p);
+  return b.next_index;
+}
 
 // Returns the node count (2p-1), or -1 on error. Output arrays must have
 // capacity 2p-1 (x3 for min/max).

@@ -240,3 +240,15 @@ def test_omnidirectional_camera(assets_dir):
     r = render(c, seed=8)
     assert np.isfinite(r.film).all()
     assert r.film.mean() > 0.001
+
+
+def test_compaction_matches_plain():
+    """pop-rr staged compaction must reproduce the plain masked loop
+    exactly when capacities don't overflow (same RNG streams per lane)."""
+    c = nee_scene("pt-direct", 8)
+    r_plain = render(
+        dataclasses.replace(c, settings=dataclasses.replace(c.settings, compaction="off")),
+        seed=9,
+    )
+    r_comp = render(c, seed=9)
+    assert np.abs(r_plain.film - r_comp.film).max() < 1e-4
