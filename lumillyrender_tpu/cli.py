@@ -9,6 +9,7 @@ note that framework knobs live outside the scene file.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -40,6 +41,10 @@ def main(argv=None) -> int:
                         help="Checkpoint file: saves film+sample counter; resumes if present")
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="Checkpoint every N samples (default: every chunk)")
+    parser.add_argument("--telemetry", action="store_true",
+                        help="Emit structured per-chunk metrics on stderr")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace into DIR")
     args = parser.parse_args(argv)
 
     t0 = time.time()
@@ -79,17 +84,26 @@ def main(argv=None) -> int:
     print(f"polygons: {compiled.stats['polygons']}")
     print(f"bvh construction: {compiled.stats['bvh_seconds']:.3f}s")
 
-    if args.devices and args.devices > 1:
-        from .parallel.shard import render_sharded
+    from .utils.telemetry import RenderTelemetry, profiler_trace
 
-        result = render_sharded(compiled, seed=args.seed, n_devices=args.devices)
-    else:
-        from .integrator.render import render
+    telemetry = RenderTelemetry() if args.telemetry else None
+    with profiler_trace(args.profile):
+        if args.devices and args.devices > 1:
+            from .parallel.shard import render_sharded
 
-        result = render(
-            compiled, seed=args.seed, spp_chunk=args.spp_chunk, progress=True,
-            checkpoint=args.checkpoint, checkpoint_every=args.checkpoint_every,
-        )
+            result = render_sharded(
+                compiled, seed=args.seed, n_devices=args.devices
+            )
+        else:
+            from .integrator.render import render
+
+            result = render(
+                compiled, seed=args.seed, spp_chunk=args.spp_chunk,
+                progress=True, checkpoint=args.checkpoint,
+                checkpoint_every=args.checkpoint_every, telemetry=telemetry,
+            )
+    if telemetry is not None:
+        print(json.dumps(telemetry.summary()))
 
     print("saving...")
     fmt = compiled.config.film.output

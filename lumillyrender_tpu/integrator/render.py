@@ -85,7 +85,7 @@ def default_spp_chunk(settings: RenderSettings, budget_lanes: int = 1 << 21) -> 
 
 def render(compiled: CompiledScene, seed: int = 0, spp_chunk: int | None = None,
            progress: bool = False, checkpoint: str | None = None,
-           checkpoint_every: int = 0) -> RenderResult:
+           checkpoint_every: int = 0, telemetry=None) -> RenderResult:
     """Render the film. With `checkpoint`, the film sum + sample counter are
     periodically persisted and a matching checkpoint resumes exactly
     (counter-based RNG; see utils/checkpoint.py)."""
@@ -109,12 +109,19 @@ def render(compiled: CompiledScene, seed: int = 0, spp_chunk: int | None = None,
     since_ckpt = 0
     t0 = time.monotonic()
     while done < settings.spp:
+        t_chunk = time.monotonic()
         cur = min(spp_chunk, settings.spp - done)
         part, rays = _render_chunk(scene, settings, seed, done, cur)
         film = film + part
-        total_rays += float(rays)
+        chunk_rays = float(rays)  # forces completion (axon sync)
+        total_rays += chunk_rays
         done += cur
         since_ckpt += cur
+        if telemetry is not None:
+            telemetry.log(
+                "chunk", spp=cur, done=done, rays=chunk_rays,
+                seconds=time.monotonic() - t_chunk,
+            )
         if checkpoint and (since_ckpt >= max(checkpoint_every, spp_chunk)
                            or done >= settings.spp):
             from ..utils import checkpoint as ckpt

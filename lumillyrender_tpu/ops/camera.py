@@ -18,6 +18,7 @@ from ..constants import PI
 from ..scene.data import (
     CAM_IDEAL_PINHOLE,
     CAM_OMNIDIRECTIONAL,
+    CAM_PINHOLE,
     CAM_THIN_LENS,
     CameraData,
 )
@@ -55,7 +56,7 @@ def sample_rays(cam: CameraData, kind: int, px, py, width, height, u, v, u2, v2)
         one = jnp.ones(px.shape, jnp.float32)
         return o, d, one, one  # pdf=1, g=1 (`camera.rs:100-119`)
 
-    # thin lens (`camera.rs:430-476`)
+    # Shared finite-aperture sampling (`camera.rs:285-300,430-445`).
     theta = 2.0 * PI * u2
     rad = jnp.sqrt(v2) * cam.aperture_radius
     aperture_point = (
@@ -65,16 +66,22 @@ def sample_rays(cam: CameraData, kind: int, px, py, width, height, u, v, u2, v2)
     )
     pdf_s = 1.0 / (cam.sensor_size[0] * cam.sensor_size[1] / (width * height))
     pdf_a = 1.0 / (PI * cam.aperture_radius**2)
-    # Project the sensor->aperture-center ray onto the focus plane.
-    sensor_center = cam.aperture_position - sensor_point
-    object_plane = sensor_center * (
-        cam.focus_distance / vec.dot(sensor_center, cam.forward)
-    )[..., None]
-    d = vec.normalize(cam.aperture_position + object_plane - aperture_point)
-    # Geometry term uses the aperture-sample direction (`camera.rs:474`).
     d0 = vec.normalize(aperture_point - sensor_point)
     cos = vec.dot(d0, cam.forward)
     dist = cam.aperture_sensor_distance / cos
     g = cos * cos / (dist * dist)
     pdf = jnp.full(px.shape, pdf_s * pdf_a, jnp.float32)
+
+    if kind == CAM_PINHOLE:
+        # Realistic pinhole (`camera.rs:312-328`): ray straight through the
+        # sampled aperture point, no focus-plane projection.
+        return aperture_point, d0, pdf, g
+
+    # thin lens (`camera.rs:458-476`): project the sensor->aperture-center
+    # ray onto the focus plane and aim the ray there.
+    sensor_center = cam.aperture_position - sensor_point
+    object_plane = sensor_center * (
+        cam.focus_distance / vec.dot(sensor_center, cam.forward)
+    )[..., None]
+    d = vec.normalize(cam.aperture_position + object_plane - aperture_point)
     return aperture_point, d, pdf, g

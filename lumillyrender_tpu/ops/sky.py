@@ -10,12 +10,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import PI
-from ..scene.data import SKY_IBL, SkyData
+from ..scene.data import SKY_IBL, SKY_SIMPLE, SkyData
 from . import vec
 
 
 def radiance(sky: SkyData, kind: int, d) -> jnp.ndarray:
     """Environment radiance for ray directions d (N,3) -> (N,3)."""
+    if kind == SKY_SIMPLE:
+        return simple_radiance(sky.color, sky.color2, d)
     if kind != SKY_IBL:
         return jnp.broadcast_to(sky.color, d.shape)
 

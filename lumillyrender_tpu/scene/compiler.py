@@ -20,6 +20,7 @@ from ..io.image import read_hdr
 from . import transform as xf
 from .data import (
     CAM_IDEAL_PINHOLE,
+    CAM_PINHOLE,
     CAM_OMNIDIRECTIONAL,
     CAM_THIN_LENS,
     MAT_BLINN_PHONG,
@@ -28,6 +29,7 @@ from .data import (
     MAT_PHONG,
     MAT_REFRACTION,
     SKY_IBL,
+    SKY_SIMPLE,
     SKY_UNIFORM,
     Bvh,
     SkyData,
@@ -172,6 +174,26 @@ def _build_camera(config: Config) -> tuple[CameraData, int]:
             CAM_IDEAL_PINHOLE,
         )
 
+    if cam.type == "pinhole":
+        # Realistic pinhole (`camera.rs:223-264`): finite aperture, no
+        # focus-plane projection; sensitivity cancels the sampling pdfs.
+        r = max(cam.aperture_radius, 1e-6)
+        pixel_area = (sx * sy) / (width * height)
+        sensitivity = asd * asd / (pixel_area * PI * r * r)
+        return (
+            CameraData(
+                position=position,
+                aperture_position=aperture_position,
+                forward=forward, right=right, up=up,
+                sensor_size=np.array([sx, sy]),
+                aperture_radius=np.float64(r),
+                focus_distance=np.float64(0.0),
+                aperture_sensor_distance=np.float64(asd),
+                sensor_sensitivity=np.float64(sensitivity),
+            ),
+            CAM_PINHOLE,
+        )
+
     # thin-lens (`camera.rs:386-394`)
     focal_length = 1.0 / (1.0 / asd + 1.0 / cam.focus_distance)
     aperture_radius = focal_length / cam.f_number / 2.0
@@ -299,9 +321,14 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
     sky_color = np.zeros(3)
     ibl = np.zeros((1, 2, 3), np.float32)
     lon = 0.0
+    sky_color2 = np.zeros(3)
     if config.sky is not None:
         if config.sky.type == "uniform":
             sky_color = np.asarray(config.sky.color, np.float64)
+        elif config.sky.type == "simple":
+            sky_kind = SKY_SIMPLE
+            sky_color = np.asarray(config.sky.meridian, np.float64)
+            sky_color2 = np.asarray(config.sky.horizon, np.float64)
         else:
             sky_kind = SKY_IBL
             ibl = read_hdr(config.resolve_path(config.sky.path))
@@ -309,6 +336,7 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
             lon = config.sky.longitude_offset
     sky = SkyData(
         color=sky_color,
+        color2=sky_color2,
         ibl=np.asarray(ibl, np.float32),
         longitude_offset=np.float64(lon),
     )

@@ -24,10 +24,14 @@ MAT_REFRACTION = 4
 
 SKY_UNIFORM = 0
 SKY_IBL = 1
+SKY_SIMPLE = 2  # reference dead code (sky.rs:23-33), reachable here
 
 CAM_IDEAL_PINHOLE = 0
 CAM_THIN_LENS = 1
 CAM_OMNIDIRECTIONAL = 2
+# 'Realistic pinhole' (camera.rs:199-337): implemented but unreachable from
+# TOML in the reference (description.rs:50-54); reachable here as `pinhole`.
+CAM_PINHOLE = 3
 
 
 @dataclass
@@ -97,7 +101,8 @@ class Bvh:
 
 @dataclass
 class SkyData:
-    color: jax.Array  # (3,) uniform emission
+    color: jax.Array  # (3,) uniform emission / simple-sky meridian
+    color2: jax.Array  # (3,) simple-sky horizon (zeros otherwise)
     ibl: jax.Array  # (H, 2H, 3) equirect texture ((1,2,3) dummy when uniform)
     longitude_offset: jax.Array  # () radians
 

@@ -54,22 +54,29 @@ class FilmConfig:
 
 @dataclass(frozen=True)
 class SkyConfig:
-    """`[sky]` tagged enum (`scene_loader.rs:28-40`): uniform | ibl."""
+    """`[sky]` tagged enum (`scene_loader.rs:28-40`): uniform | ibl, plus
+    `simple` (the reference's dead `SimpleSky`, `sky.rs:23-33`, made
+    reachable as an extension)."""
 
     type: str
     color: Vec3 = (0.0, 0.0, 0.0)
     path: str = ""
     longitude_offset: float = 0.0  # radians (quirk #14)
+    meridian: Vec3 = (0.0, 0.0, 0.0)
+    horizon: Vec3 = (0.0, 0.0, 0.0)
 
 
 @dataclass(frozen=True)
 class CameraConfig:
-    """`[camera]` tagged enum (`scene_loader.rs:106-125`)."""
+    """`[camera]` tagged enum (`scene_loader.rs:106-125`), plus `pinhole`
+    (the reference's unreachable "realistic pinhole", `camera.rs:199-337`,
+    made reachable as an extension: finite aperture, no focus plane)."""
 
-    type: str  # ideal-pinhole | thin-lens | omnidirectional
+    type: str  # ideal-pinhole | thin-lens | omnidirectional | pinhole
     fov: float = 0.0
     focus_distance: float = 0.0
     f_number: float = 0.0
+    aperture_radius: float = 0.0
     transform: tuple[dict, ...] = ()
 
 
@@ -222,18 +229,25 @@ def parse_config(toml_str: str, base_dir: Path | str = ".") -> Config:
                 path=str(s["path"]),
                 longitude_offset=float(s.get("longitude_offset", 0.0)),
             )
+        elif s["type"] == "simple":
+            sky = SkyConfig(
+                type="simple",
+                meridian=_vec3(s["meridian"]),
+                horizon=_vec3(s["horizon"]),
+            )
         else:
             raise ValueError(f"Unknown sky type `{s['type']}`")
 
     c = _kebab(raw["camera"])
     ckind = c["type"]
-    if ckind not in ("ideal-pinhole", "thin-lens", "omnidirectional"):
+    if ckind not in ("ideal-pinhole", "thin-lens", "omnidirectional", "pinhole"):
         raise ValueError(f"Unknown camera type `{ckind}`")
     camera = CameraConfig(
         type=ckind,
         fov=float(c.get("fov", 0.0)),
         focus_distance=float(c.get("focus_distance", 0.0)),
         f_number=float(c.get("f_number", 0.0)),
+        aperture_radius=float(c.get("aperture_radius", 0.0)),
         transform=tuple(c.get("transform", ())),
     )
 
