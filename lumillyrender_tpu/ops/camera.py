@@ -25,6 +25,33 @@ from ..scene.data import (
 from . import vec
 
 
+def camera_info(cam: CameraData, kind: int) -> dict:
+    """Debug camera info (`camera.rs:121-133,482-498,501-508`): focal
+    length, sensor diagonal, fov/xfov, f-number. Host-side."""
+    import numpy as np
+
+    if kind == CAM_OMNIDIRECTIONAL:
+        raise NotImplementedError("omnidirectional camera has no CameraInfo")
+    sx, sy = (float(x) for x in np.asarray(cam.sensor_size))
+    asd = float(cam.aperture_sensor_distance)
+    diag = (sx**2 + sy**2) ** 0.5
+    fov = 2.0 * np.arctan(diag / 2.0 / asd) * 180.0 / PI
+    xfov = 2.0 * np.arctan(sx / 2.0 / asd) * 180.0 / PI
+    if kind == CAM_THIN_LENS:
+        focal = 1.0 / (1.0 / asd + 1.0 / float(cam.focus_distance))
+        f_number = focal / float(cam.aperture_radius) / 2.0
+    elif kind == CAM_PINHOLE:
+        focal = asd
+        f_number = focal / float(cam.aperture_radius) / 2.0
+    else:
+        focal = asd
+        f_number = float("inf")
+    return dict(
+        focal_length=focal, sensor_diagonal=diag, fov=fov, xfov=xfov,
+        f_number=f_number,
+    )
+
+
 def sample_rays(cam: CameraData, kind: int, px, py, width, height, u, v, u2, v2):
     """Generate rays for pixel indices (px, py) with uniforms u,v,u2,v2.
 

@@ -69,6 +69,20 @@ def refract(v, n, eta):
     return r, valid
 
 
+def hemisphere_uniform(u1, u2):
+    """Hemisphere direction in local (t, b, n) coordinates with the
+    reference's exact construction (`util.rs:98-106`: z = sqrt(u2), radial
+    sqrt(1-u2^2) — note it is NOT unit length for all inputs; unused by the
+    reference's materials but part of its sampler API)."""
+    from ..constants import PI as _PI
+
+    phi = 2.0 * _PI * u1
+    r2s = jnp.sqrt(jnp.maximum(1.0 - u2 * u2, 0.0))
+    return jnp.stack(
+        [jnp.cos(phi) * r2s, jnp.sin(phi) * r2s, jnp.sqrt(u2)], axis=-1
+    )
+
+
 def orienting_normal(out_dir, n):
     """Flip `n` to face `out_dir`'s hemisphere (`material/*.rs orienting_normal`)."""
     return jnp.where(dot(n, out_dir)[..., None] < 0.0, -n, n)

@@ -163,3 +163,33 @@ def test_bounce_occupancy_telemetry():
     assert occ.shape == (6,)
     assert occ[0] <= n
     assert (np.diff(occ) <= 0).all()  # occupancy only decays
+
+
+def test_camera_info_parity():
+    """CameraInfo math (`camera.rs:121-133,482-498`)."""
+    from lumillyrender_tpu.ops.camera import camera_info
+
+    c = scene('type = "ideal-pinhole"\nfov = 40')
+    info = camera_info(c.data.camera, c.settings.camera_kind)
+    assert abs(info["xfov"] - 40.0) < 1e-3
+    assert info["f_number"] == float("inf")
+    assert abs(info["focal_length"] - 50.0) < 1e-3
+
+    c2 = scene('type = "thin-lens"\nfov = 40\nfocus-distance = 20\nf-number = 2.0')
+    info2 = camera_info(c2.data.camera, c2.settings.camera_kind)
+    # focal = 1/(1/50 + 1/20); aperture_radius = focal/f_number/2;
+    # info f_number = focal/radius/2 == f_number * ... (reference algebra
+    # gives back exactly the configured f-number: r = f/N/2, N' = f/r/2 = N)
+    assert abs(info2["f_number"] - 2.0) < 1e-4
+
+
+def test_hemisphere_uniform_reference_construction():
+    """`util.rs:98-106` exact construction (z = sqrt(u2), radial sqrt(1-u2^2))."""
+    import jax.numpy as jnp
+
+    from lumillyrender_tpu.ops.vec import hemisphere_uniform
+
+    d = np.asarray(hemisphere_uniform(jnp.asarray([0.25]), jnp.asarray([0.5])))
+    assert abs(d[0, 2] - np.sqrt(0.5)) < 1e-6
+    r = np.hypot(d[0, 0], d[0, 1])
+    assert abs(r - np.sqrt(1 - 0.25)) < 1e-6
