@@ -12,10 +12,19 @@ import numpy as np
 
 from . import sah
 
-TREELET_K = 16
+# Treelet (max-leaf) size. 64 fills half the 128-wide lane axis per block
+# test; because block MT tests run on dense (n, K) arrays, tests up to
+# K=128 cost the same wall-clock as K=16 while making the gather-bound node
+# walk ~2-3 levels shallower (measured ~2x on the 82k-tri mesh scene).
+# Override with LLR_TREELET_K for experiments.
+import os
+
+TREELET_K = int(os.environ.get("LLR_TREELET_K", "64"))
 
 
-def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int = TREELET_K):
+def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int | None = None):
+    if max_leaf is None:
+        max_leaf = TREELET_K
     """Returns dict of numpy arrays matching scene.data.Bvh fields."""
     t = tri_p0.shape[0]
     k = max_leaf

@@ -43,7 +43,7 @@ class ShadePoint(NamedTuple):
 def _tri_t(o, d, p0, e1, e2):
     """Batched MT test -> t matrix with misses as +INF.
 
-    o,d: (N,1,3); p0,e1,e2: (1,C,3). Returns (N,C).
+    o,d: (N,1,3); p0,e1,e2: (1,C,3) or per-lane (N,C,3). Returns (N,C).
     """
     pv = jnp.cross(d, e2)
     det = jnp.sum(e1 * pv, axis=-1)
@@ -56,6 +56,46 @@ def _tri_t(o, d, p0, e1, e2):
     qv = jnp.cross(tv, e1)
     v = jnp.sum(d * qv, axis=-1) * inv
     t = jnp.sum(e2 * qv, axis=-1) * inv
+    ok = (
+        det_ok
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= EPS)
+    )
+    return jnp.where(ok, t, INF)
+
+
+def _tri_t_T(o, d, p0, e1, e2):
+    """Transposed MT test: rays live on the 128-lane axis.
+
+    o,d: 3-tuples of (N,) ray components; p0,e1,e2: (C,3) prim chunks.
+    Returns t (C,N) with misses as +INF. Identical math to `_tri_t`; only
+    the layout differs — every intermediate is a dense (C,N) array (N on
+    vector lanes) instead of (N,C,3) whose size-3 minor dim wastes 125/128
+    TPU lanes (measured 8-40x slower).
+    """
+    ox, oy, oz = (c[None, :] for c in o)  # (1,N)
+    dx, dy, dz = (c[None, :] for c in d)
+    p0x, p0y, p0z = (p0[:, i : i + 1] for i in range(3))  # (C,1)
+    e1x, e1y, e1z = (e1[:, i : i + 1] for i in range(3))
+    e2x, e2y, e2z = (e2[:, i : i + 1] for i in range(3))
+
+    # pv = d x e2  (C,N)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    det_ok = jnp.abs(det) >= EPS
+    inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    # tv = o - p0
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    # qv = tv x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
     ok = (
         det_ok
         & (u >= 0.0) & (u <= 1.0)
@@ -82,13 +122,37 @@ def _sph_t(o, d, c, r):
     return jnp.where(ok, t, INF)
 
 
-def intersect_brute(o, d, geom: Geometry, chunk: int = 256) -> Hit:
-    """Nearest hit by streaming over the prim table. o,d: (N,3)."""
+def _sph_t_T(o, d, c, r):
+    """Transposed sphere test (see `_tri_t_T`). o,d: 3-tuples of (N,);
+    c: (C,3); r: (C,). Returns (C,N)."""
+    ox, oy, oz = (k[None, :] for k in o)
+    dx, dy, dz = (k[None, :] for k in d)
+    cx, cy, cz = (c[:, i : i + 1] for i in range(3))
+    r1 = r[:, None]
+    cox, coy, coz = ox - cx, oy - cy, oz - cz
+    cod = cox * dx + coy * dy + coz * dz
+    det = cod * cod - (cox * cox + coy * coy + coz * coz) + r1 * r1
+    sq = jnp.sqrt(jnp.where(det > 0.0, det, 1.0))
+    t1 = -cod - sq
+    t2 = -cod + sq
+    t = jnp.where(t1 > EPS, t1, t2)
+    ok = (det > 0.0) & (t > EPS)
+    return jnp.where(ok, t, INF)
+
+
+def intersect_brute(o, d, geom: Geometry, chunk: int = 8) -> Hit:
+    """Nearest hit by streaming over the prim table. o,d: (N,3).
+
+    Transposed layout: prim chunks of `chunk` ride the sublane axis, the N
+    rays ride the 128-wide lane axis, so every MT/sphere test is dense
+    (`_tri_t_T`). The chunk loop is a `lax.scan` with mild unrolling —
+    sequential over prims, saturating over rays.
+    """
     n = o.shape[0]
     nt = geom.tri_p0.shape[0]
     ns = geom.sph_c.shape[0]
-    o1 = o[:, None, :]
-    d1 = d[:, None, :]
+    oT = tuple(o[:, i] for i in range(3))
+    dT = tuple(d[:, i] for i in range(3))
 
     best_t = jnp.full((n,), INF, o.dtype)
     best_p = jnp.full((n,), -1, jnp.int32)
@@ -100,6 +164,14 @@ def intersect_brute(o, d, geom: Geometry, chunk: int = 256) -> Hit:
             x = jnp.concatenate([x, jnp.full((p,) + x.shape[1:], fill, x.dtype)], 0)
         return x
 
+    def fold(best, t, start, base, offset):
+        bt, bp = best
+        j = jnp.argmin(t, axis=0)  # (N,)
+        tmin = jnp.min(t, axis=0)
+        pid = offset + start + base[j]
+        upd = tmin < bt
+        return jnp.where(upd, tmin, bt), jnp.where(upd, pid, bp)
+
     if nt:
         c = min(chunk, max(8, nt))
         p0 = pad(geom.tri_p0, c, 0.0).reshape(-1, c, 3)
@@ -108,18 +180,13 @@ def intersect_brute(o, d, geom: Geometry, chunk: int = 256) -> Hit:
         base = jnp.arange(c, dtype=jnp.int32)
 
         def tri_step(carry, inp):
-            bt, bp = carry
             cp0, ce1, ce2, start = inp
-            t = _tri_t(o1, d1, cp0[None], ce1[None], ce2[None])  # (N, C)
-            j = jnp.argmin(t, axis=1)
-            tmin = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-            pid = start + base[j]
-            upd = tmin < bt
-            return (jnp.where(upd, tmin, bt), jnp.where(upd, pid, bp)), None
+            t = _tri_t_T(oT, dT, cp0, ce1, ce2)  # (C, N)
+            return fold(carry, t, start, base, 0), None
 
         starts = jnp.arange(p0.shape[0], dtype=jnp.int32) * c
         (best_t, best_p), _ = jax.lax.scan(
-            tri_step, (best_t, best_p), (p0, e1, e2, starts)
+            tri_step, (best_t, best_p), (p0, e1, e2, starts), unroll=4
         )
 
     if ns:
@@ -130,25 +197,20 @@ def intersect_brute(o, d, geom: Geometry, chunk: int = 256) -> Hit:
         base = jnp.arange(c, dtype=jnp.int32)
 
         def sph_step(carry, inp):
-            bt, bp = carry
             cc, cr, start = inp
-            t = _sph_t(o1, d1, cc[None], cr[None])
-            j = jnp.argmin(t, axis=1)
-            tmin = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-            pid = nt + start + base[j]
-            upd = tmin < bt
-            return (jnp.where(upd, tmin, bt), jnp.where(upd, pid, bp)), None
+            t = _sph_t_T(oT, dT, cc, cr)
+            return fold(carry, t, start, base, nt), None
 
         starts = jnp.arange(sc.shape[0], dtype=jnp.int32) * c
         (best_t, best_p), _ = jax.lax.scan(
-            sph_step, (best_t, best_p), (sc, sr, starts)
+            sph_step, (best_t, best_p), (sc, sr, starts), unroll=4
         )
 
     best_p = jnp.where(best_t < INF, best_p, -1)
     return Hit(t=best_t, prim=best_p)
 
 
-def _sphere_brute(o, d, geom: Geometry, best_t, best_p, chunk: int = 64):
+def _sphere_brute(o, d, geom: Geometry, best_t, best_p, chunk: int = 8):
     """Fold all spheres into the running (best_t, best_p). Spheres stay
     brute-force even in BVH mode: scenes carry a handful of analytic
     spheres, never enough to warrant tree nodes."""
@@ -160,9 +222,11 @@ def _sphere_brute(o, d, geom: Geometry, best_t, best_p, chunk: int = 64):
     pad_n = (-ns) % c
     sc = jnp.concatenate([geom.sph_c, jnp.zeros((pad_n, 3), geom.sph_c.dtype)], 0)
     sr = jnp.concatenate([geom.sph_r, jnp.zeros((pad_n,), geom.sph_r.dtype)], 0)
-    t = _sph_t(o[:, None, :], d[:, None, :], sc[None], sr[None])  # (N, ns+pad)
-    j = jnp.argmin(t, axis=1)
-    tmin = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+    oT = tuple(o[:, i] for i in range(3))
+    dT = tuple(d[:, i] for i in range(3))
+    t = _sph_t_T(oT, dT, sc, sr)  # (ns+pad, N)
+    j = jnp.argmin(t, axis=0)
+    tmin = jnp.min(t, axis=0)
     upd = tmin < best_t
     return (
         jnp.where(upd, tmin, best_t),
@@ -207,25 +271,38 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
         ],
         axis=1,
     )
-    o_l = o[:, None, :]
-    d_l = d[:, None, :]
-    def make_body(width):
-        o_w = None  # bound below per stage via closure over gathered rays
+    k = bvh.blk_p0.shape[1]
+    # Component-major block tables, (L, 9, K): one gather per candidate
+    # fetches a (n, 9, K) slab whose MT math then runs on dense (n, K)
+    # arrays (K on lanes) — never on size-3 minor dims.
+    blk9 = jnp.stack(
+        [bvh.blk_p0[:, :, i] for i in range(3)]
+        + [bvh.blk_e1[:, :, i] for i in range(3)]
+        + [bvh.blk_e2[:, :, i] for i in range(3)],
+        axis=1,
+    )
 
+    def make_body(width):
         def body(state):
             node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots = state
+            oc = tuple(o_s[:, i] for i in range(3))
+            dc = tuple(d_s[:, i] for i in range(3))
+            ic = tuple(inv_s[:, i] for i in range(3))
 
             def walk(carry, _):
                 node, best_t, cand, ncand = carry
                 active = (node >= 0) & (ncand < _CAND_B)
                 row = jnp.take(nodes8, jnp.maximum(node, 0), axis=0)
-                nmin, nmax = row[:, 0:3], row[:, 3:6]
                 miss = row[:, 6].astype(jnp.int32)
                 leaf = row[:, 7].astype(jnp.int32)
-                t1 = (nmin - o_s) * inv_s
-                t2 = (nmax - o_s) * inv_s
-                tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-                tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+                # Slab test, componentwise over (n,) lanes.
+                tmin = jnp.full(node.shape, -jnp.inf, o_s.dtype)
+                tmax = jnp.full(node.shape, jnp.inf, o_s.dtype)
+                for a in range(3):
+                    ta = (row[:, a] - oc[a]) * ic[a]
+                    tb = (row[:, 3 + a] - oc[a]) * ic[a]
+                    tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
+                    tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
                 box_hit = (tmin <= tmax) & (tmax >= EPS) & (tmin < best_t)
                 is_leaf = leaf >= 0
                 push = active & box_hit & is_leaf
@@ -241,18 +318,43 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
             (node, best_t, cand, ncand), _ = jax.lax.scan(
                 walk, (node, best_t, cand, ncand), None, length=_WALK_S
             )
+            ocl = tuple(c[:, None] for c in oc)  # (n,1)
+            dcl = tuple(c[:, None] for c in dc)
             for b in range(_CAND_B):
                 cb = cand[:, b]
                 have = cb >= 0
                 blk = jnp.maximum(cb, 0)
-                p0 = jnp.take(bvh.blk_p0, blk, axis=0)
-                e1 = jnp.take(bvh.blk_e1, blk, axis=0)
-                e2 = jnp.take(bvh.blk_e2, blk, axis=0)
-                prim = jnp.take(bvh.blk_prim, blk, axis=0)
-                t = _tri_t(o_s[:, None, :], d_s[:, None, :], p0, e1, e2)
-                t = jnp.where(prim >= 0, t, INF)
+                g = jnp.take(blk9, blk, axis=0)  # (n, 9, K)
+                prim = jnp.take(bvh.blk_prim, blk, axis=0)  # (n, K)
+                # Möller-Trumbore on (n, K) components (same math as
+                # `_tri_t_T`, per-lane prim slabs instead of shared chunks).
+                p0x, p0y, p0z = g[:, 0], g[:, 1], g[:, 2]
+                e1x, e1y, e1z = g[:, 3], g[:, 4], g[:, 5]
+                e2x, e2y, e2z = g[:, 6], g[:, 7], g[:, 8]
+                dx, dy, dz = dcl
+                ox, oy, oz = ocl
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                det_ok = jnp.abs(det) >= EPS
+                inv = 1.0 / jnp.where(det_ok, det, 1.0)
+                tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                ok = (
+                    det_ok
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= EPS) & (prim >= 0)
+                )
+                t = jnp.where(ok, t, INF)
                 j = jnp.argmin(t, axis=1)
-                tmin_blk = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+                tmin_blk = jnp.min(t, axis=1)
                 pid = jnp.take_along_axis(prim, j[:, None], axis=1)[:, 0]
                 upd = have & (tmin_blk < best_t)
                 best_t = jnp.where(upd, tmin_blk, best_t)
