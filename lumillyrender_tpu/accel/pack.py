@@ -22,12 +22,25 @@ import os
 TREELET_K = int(os.environ.get("LLR_TREELET_K", "64"))
 
 
-def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int | None = None):
+def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
+                  max_leaf: int | None = None):
     if max_leaf is None:
         max_leaf = TREELET_K
-    """Returns dict of numpy arrays matching scene.data.Bvh fields."""
+    """Returns dict of numpy arrays matching scene.data.Bvh fields.
+
+    `tri_n` / `tri_mat` fill the per-block shade payload (`blk_n`,
+    `blk_mat`) so traversal can hand back the winner's normal and material
+    row without any post-hoc gather into the global tables; omitted (tests)
+    they default to recomputed face normals / material row 0.
+    """
     t = tri_p0.shape[0]
     k = max_leaf
+    if tri_n is None and t:
+        n = np.cross(tri_e1, tri_e2)
+        ln = np.linalg.norm(n, axis=1, keepdims=True)
+        tri_n = n / np.where(ln > 0, ln, 1.0)
+    if tri_mat is None:
+        tri_mat = np.zeros(t, np.int32)
     if t == 0:
         return dict(
             node_min=np.zeros((1, 3), np.float32),
@@ -37,7 +50,9 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int | None = None):
             blk_p0=np.zeros((1, k, 3), np.float32),
             blk_e1=np.zeros((1, k, 3), np.float32),
             blk_e2=np.zeros((1, k, 3), np.float32),
+            blk_n=np.zeros((1, k, 3), np.float32),
             blk_prim=np.full((1, k), -1, np.int32),
+            blk_mat=np.full((1, k), -1, np.int32),
         )
 
     p1 = tri_p0 + tri_e1
@@ -53,7 +68,9 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int | None = None):
     blk_p0 = np.zeros((n_blocks, k, 3), np.float32)
     blk_e1 = np.zeros((n_blocks, k, 3), np.float32)
     blk_e2 = np.zeros((n_blocks, k, 3), np.float32)
+    blk_n = np.zeros((n_blocks, k, 3), np.float32)
     blk_prim = np.full((n_blocks, k), -1, np.int32)
+    blk_mat = np.full((n_blocks, k), -1, np.int32)
     node_leaf = np.full(rb.node_miss.shape[0], -1, np.int32)
     for b, node in enumerate(leaves):
         lo = rb.leaf_start[node]
@@ -62,7 +79,9 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int | None = None):
         blk_p0[b, :n] = tri_p0[ids]
         blk_e1[b, :n] = tri_e1[ids]
         blk_e2[b, :n] = tri_e2[ids]
+        blk_n[b, :n] = tri_n[ids]
         blk_prim[b, :n] = ids
+        blk_mat[b, :n] = tri_mat[ids]
         node_leaf[node] = b
 
     return dict(
@@ -73,7 +92,9 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, max_leaf: int | None = None):
         blk_p0=blk_p0,
         blk_e1=blk_e1,
         blk_e2=blk_e2,
+        blk_n=blk_n,
         blk_prim=blk_prim,
+        blk_mat=blk_mat,
     )
 
 

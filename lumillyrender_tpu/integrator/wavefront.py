@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import EPS, INF, PI
-from ..ops import bsdf, rng, sky as sky_ops, vec
-from ..ops.intersect import intersect, shade_point
+from ..ops import bsdf, rng, sky as sky_ops, table, vec
+from ..ops.intersect import intersect, intersect_shade, shade_point
 from ..scene.data import RenderSettings, SceneData
 
 # RNG purpose slots per bounce (ctr = bounce * _SLOTS + slot).
@@ -60,40 +60,35 @@ def _russian_roulette(weight, bounce, settings: RenderSettings):
 
 def _sample_light_point(scene: SceneData, u_pick, u1, u2):
     """Area-proportional light pick + uniform point (`objects.rs:37-51`,
-    `triangle.rs:140-149`, `sphere.rs:79-84`). pdf = 1 / total_area."""
-    lights = scene.lights
-    geom = scene.geometry
-    nt = geom.tri_p0.shape[0]
-    roulette = lights.total_area * u_pick
-    li = jnp.searchsorted(lights.cdf, roulette, side="left").astype(jnp.int32)
-    li = jnp.clip(li, 0, lights.prim.shape[0] - 1)
-    prim = jnp.take(lights.prim, li, axis=0)
+    `triangle.rs:140-149`, `sphere.rs:79-84`). pdf = 1 / total_area.
 
-    is_tri = prim < nt
-    # Triangle sample: min/max trick.
-    tid = jnp.clip(prim, 0, max(nt - 1, 0))
-    if nt:
-        p0 = jnp.take(geom.tri_p0, tid, axis=0)
-        p1 = p0 + jnp.take(geom.tri_e1, tid, axis=0)
-        p2 = p0 + jnp.take(geom.tri_e2, tid, axis=0)
-        mn = jnp.minimum(u1, u2)[..., None]
-        mx = jnp.maximum(u1, u2)[..., None]
-        p_tri = p0 * mn + p1 * (1.0 - mx) + p2 * (mx - mn)
-    else:
-        p_tri = jnp.zeros(u1.shape + (3,), u1.dtype)
+    All emitter geometry comes from the light-local table (tiny), selected
+    by dense one-hot rows — no gather into the global prim tables."""
+    lights = scene.lights
+    roulette = lights.total_area * u_pick
+    # searchsorted(left) == count of cdf entries strictly below roulette;
+    # the dense count keeps N on vector lanes (cdf is tiny).
+    li = jnp.sum(
+        (lights.cdf[:, None] < roulette[None, :]).astype(jnp.int32), axis=0
+    )
+    li = jnp.clip(li, 0, lights.prim.shape[0] - 1)
+
+    is_tri = table.take_rows(lights.is_tri, li) > 0
+    # Triangle sample: min/max trick (`triangle.rs:140-149`).
+    p0 = table.take_rows(lights.p0, li)
+    le1 = table.take_rows(lights.e1, li)
+    le2 = table.take_rows(lights.e2, li)
+    mn = jnp.minimum(u1, u2)[..., None]
+    mx = jnp.maximum(u1, u2)[..., None]
+    p_tri = p0 * mn + (p0 + le1) * (1.0 - mx) + (p0 + le2) * (mx - mn)
     # Sphere sample: uniform over the FULL sphere (quirk #10).
-    ns = geom.sph_c.shape[0]
-    sid = jnp.clip(prim - nt, 0, max(ns - 1, 0))
-    if ns:
-        c = jnp.take(geom.sph_c, sid, axis=0)
-        r = jnp.take(geom.sph_r, sid, axis=0)
-        phi = 2.0 * PI * u1
-        z = u2 * 2.0 - 1.0
-        zs = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-        dir_s = jnp.stack([jnp.cos(phi) * zs, jnp.sin(phi) * zs, z], axis=-1)
-        p_sph = c + dir_s * r[..., None]
-    else:
-        p_sph = jnp.zeros(u1.shape + (3,), u1.dtype)
+    c = table.take_rows(lights.c, li)
+    r = table.take_rows(lights.r, li)
+    phi = 2.0 * PI * u1
+    z = u2 * 2.0 - 1.0
+    zs = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    dir_s = jnp.stack([jnp.cos(phi) * zs, jnp.sin(phi) * zs, z], axis=-1)
+    p_sph = c + dir_s * r[..., None]
 
     point = jnp.where(is_tri[..., None], p_tri, p_sph)
     pdf = jnp.full(u1.shape, 1.0, u1.dtype) / lights.total_area
@@ -123,8 +118,9 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     not_emitter = vec.sqr_norm(mats_gathered.emission) <= 0.0
     ok = ok & not_emitter
 
-    shadow = intersect(sp.position, wi, scene.geometry, scene.bvh, settings.intersector)
-    shadow_sp = shade_point(sp.position, wi, shadow, scene.geometry)
+    shadow, shadow_sp = intersect_shade(
+        sp.position, wi, scene.geometry, scene.bvh, settings.intersector
+    )
     visible = shadow_sp.hit & (jnp.abs(shadow.t - dist) <= EPS)
     ok = ok & visible
 
@@ -158,8 +154,9 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
         lane = state.lane
         ctr = bounce * _SLOTS
 
-        hit = intersect(state.o, state.d, scene.geometry, scene.bvh, settings.intersector)
-        sp = shade_point(state.o, state.d, hit, scene.geometry)
+        hit, sp = intersect_shade(
+            state.o, state.d, scene.geometry, scene.bvh, settings.intersector
+        )
         rays = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32))
 
         # Sky on miss (`scene.rs:43`) — at every depth, both integrators.

@@ -33,6 +33,7 @@ from ..scene.data import (
     MaterialTable,
 )
 from . import vec
+from .table import take_rows
 
 
 class GatheredMaterial(NamedTuple):
@@ -47,14 +48,16 @@ class GatheredMaterial(NamedTuple):
 
 
 def gather(table: MaterialTable, mat_id) -> GatheredMaterial:
+    # Material tables are tiny (one row per TOML [[material]]), so this is
+    # a dense one-hot select, not a serialized TPU gather (ops/table.py).
     i = jnp.maximum(mat_id, 0)
     return GatheredMaterial(
-        type_id=jnp.take(table.type_id, i, axis=0),
-        color=jnp.take(table.color, i, axis=0),
-        emission=jnp.take(table.emission, i, axis=0),
-        alpha=jnp.take(table.alpha, i, axis=0),
-        ior=jnp.take(table.ior, i, axis=0),
-        absorbtance=jnp.take(table.absorbtance, i, axis=0),
+        type_id=take_rows(table.type_id, i),
+        color=take_rows(table.color, i),
+        emission=take_rows(table.emission, i),
+        alpha=take_rows(table.alpha, i),
+        ior=take_rows(table.ior, i),
+        absorbtance=take_rows(table.absorbtance, i),
     )
 
 

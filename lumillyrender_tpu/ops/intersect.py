@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..constants import EPS, INF
 from ..scene.data import Bvh, Geometry
 from . import vec
+from .table import take_rows
 
 
 class Hit(NamedTuple):
@@ -210,13 +211,17 @@ def intersect_brute(o, d, geom: Geometry, chunk: int = 8) -> Hit:
     return Hit(t=best_t, prim=best_p)
 
 
-def _sphere_brute(o, d, geom: Geometry, best_t, best_p, chunk: int = 8):
+def _sphere_brute(o, d, geom: Geometry, best_t, best_p, shade=None, chunk: int = 8):
     """Fold all spheres into the running (best_t, best_p). Spheres stay
     brute-force even in BVH mode: scenes carry a handful of analytic
-    spheres, never enough to warrant tree nodes."""
+    spheres, never enough to warrant tree nodes.
+
+    With `shade` = (mat, (f0, f1, f2)) the winner's material row and center
+    components are dense-selected into the carry as well (see
+    `intersect_shade_brute`)."""
     ns = geom.sph_c.shape[0]
     if not ns:
-        return best_t, best_p
+        return (best_t, best_p) if shade is None else (best_t, best_p, *shade)
     nt = geom.tri_p0.shape[0]
     c = min(chunk, max(8, ns))
     pad_n = (-ns) % c
@@ -228,17 +233,29 @@ def _sphere_brute(o, d, geom: Geometry, best_t, best_p, chunk: int = 8):
     j = jnp.argmin(t, axis=0)
     tmin = jnp.min(t, axis=0)
     upd = tmin < best_t
-    return (
-        jnp.where(upd, tmin, best_t),
-        jnp.where(upd, nt + j.astype(jnp.int32), best_p),
+    out_t = jnp.where(upd, tmin, best_t)
+    out_p = jnp.where(upd, nt + j.astype(jnp.int32), best_p)
+    if shade is None:
+        return out_t, out_p
+    best_m, best_f = shade
+    rows = t.shape[0]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) == j[None, :]
+    sel = lambda col: jnp.sum(jnp.where(oh, col[:, None], 0), axis=0)
+    sm = jnp.concatenate(
+        [geom.sph_mat, jnp.full((pad_n,), -1, jnp.int32)], 0
     )
+    out_m = jnp.where(upd, sel(sm), best_m)
+    out_f = tuple(
+        jnp.where(upd, sel(sc[:, i]), best_f[i]) for i in range(3)
+    )
+    return out_t, out_p, out_m, out_f
 
 
 _CAND_B = 4  # candidate treelet slots per lane between flushes
 _WALK_S = 16  # node-walk steps per outer iteration
 
 
-def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
+def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False):
     """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
 
     TPU gathers run far below streaming bandwidth, so the inner walk touches
@@ -249,16 +266,54 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
     candidate is ever dropped, so the nearest hit matches brute force
     exactly. (Echoes the reference's collect-then-test `bvh.rs:131-141`,
     minus its per-ray Vec allocation and unordered full test.)
+
+    With `want_shade` the winner's shade attributes (precomputed face
+    normal / sphere center, material row) ride the flush one-hot selects,
+    and the return is (Hit, ShadePoint) with no post-hoc prim-table gather
+    (per-lane gathers over big tables are the single slowest op in the
+    whole renderer; see ops/table.py).
     """
     n = o.shape[0]
+    nt = geom.tri_p0.shape[0]
     inv_d = 1.0 / d  # IEEE inf on zero components, like the reference slab test
 
     best_t0 = jnp.full((n,), INF, o.dtype)
     best_p0 = jnp.full((n,), -1, jnp.int32)
-    best_t0, best_p0 = _sphere_brute(o, d, geom, best_t0, best_p0)
+    if want_shade:
+        sh0 = (
+            jnp.full((n,), -1, jnp.int32),
+            (jnp.zeros((n,), o.dtype),) * 3,
+        )
+        best_t0, best_p0, m0, f0 = _sphere_brute(
+            o, d, geom, best_t0, best_p0, shade=sh0
+        )
+        sh0 = (m0, *f0)
+    else:
+        best_t0, best_p0 = _sphere_brute(o, d, geom, best_t0, best_p0)
+        sh0 = ()
 
-    if geom.tri_p0.shape[0] == 0:
-        return Hit(t=best_t0, prim=jnp.where(best_t0 < INF, best_p0, -1))
+    def finish(res_t, res_p, sh):
+        hitmask = res_t < INF
+        hit = Hit(t=res_t, prim=jnp.where(hitmask, res_p, -1))
+        if not want_shade:
+            return hit
+        m, f0_, f1_, f2_ = sh
+        pos = o + d * res_t[..., None]
+        f = jnp.stack([f0_, f1_, f2_], axis=-1)
+        is_tri = hit.prim < nt
+        if geom.sph_c.shape[0]:
+            sn = vec.safe_normalize(pos - f)
+            normal = jnp.where(is_tri[..., None], f, sn)
+        else:
+            normal = f
+        normal = jnp.where(
+            hitmask[..., None], normal, jnp.array([0.0, 0.0, 1.0], normal.dtype)
+        )
+        mat = jnp.where(hitmask, m, -1)
+        return hit, ShadePoint(position=pos, normal=normal, mat=mat, hit=hitmask)
+
+    if nt == 0:
+        return finish(best_t0, best_p0, sh0)
 
     # Packed node row: min(3) max(3) miss leaf — one gather per step. Links
     # are exact as f32 (node/block counts stay far below 2^24).
@@ -272,19 +327,22 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
         axis=1,
     )
     k = bvh.blk_p0.shape[1]
-    # Component-major block tables, (L, 9, K): one gather per candidate
-    # fetches a (n, 9, K) slab whose MT math then runs on dense (n, K)
-    # arrays (K on lanes) — never on size-3 minor dims.
-    blk9 = jnp.stack(
+    # Component-major block tables, (L, 9|12, K): one gather per candidate
+    # fetches a (n, C, K) slab whose MT math then runs on dense (n, K)
+    # arrays (K on lanes) — never on size-3 minor dims. Shade mode appends
+    # the precomputed face-normal components (rows 9-11).
+    comps = (
         [bvh.blk_p0[:, :, i] for i in range(3)]
         + [bvh.blk_e1[:, :, i] for i in range(3)]
-        + [bvh.blk_e2[:, :, i] for i in range(3)],
-        axis=1,
+        + [bvh.blk_e2[:, :, i] for i in range(3)]
     )
+    if want_shade:
+        comps += [bvh.blk_n[:, :, i] for i in range(3)]
+    blk9 = jnp.stack(comps, axis=1)
 
     def make_body(width):
         def body(state):
-            node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots = state
+            node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots, sh = state
             oc = tuple(o_s[:, i] for i in range(3))
             dc = tuple(d_s[:, i] for i in range(3))
             ic = tuple(inv_s[:, i] for i in range(3))
@@ -324,7 +382,7 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
                 cb = cand[:, b]
                 have = cb >= 0
                 blk = jnp.maximum(cb, 0)
-                g = jnp.take(blk9, blk, axis=0)  # (n, 9, K)
+                g = jnp.take(blk9, blk, axis=0)  # (n, 9|12, K)
                 prim = jnp.take(bvh.blk_prim, blk, axis=0)  # (n, K)
                 # Möller-Trumbore on (n, K) components (same math as
                 # `_tri_t_T`, per-lane prim slabs instead of shared chunks).
@@ -359,9 +417,24 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
                 upd = have & (tmin_blk < best_t)
                 best_t = jnp.where(upd, tmin_blk, best_t)
                 best_p = jnp.where(upd, pid, best_p)
+                if want_shade:
+                    # Winner's normal + material row via a one-hot over the
+                    # K lane axis — the data is already in `g`, no gather.
+                    oh = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+                        == j[:, None]
+                    )
+                    selk = lambda comp: jnp.sum(jnp.where(oh, comp, 0), axis=1)
+                    bmat = jnp.take(bvh.blk_mat, blk, axis=0)  # (n, K)
+                    m, f0_, f1_, f2_ = sh
+                    m = jnp.where(upd, selk(bmat), m)
+                    f0_ = jnp.where(upd, selk(g[:, 9]), f0_)
+                    f1_ = jnp.where(upd, selk(g[:, 10]), f1_)
+                    f2_ = jnp.where(upd, selk(g[:, 11]), f2_)
+                    sh = (m, f0_, f1_, f2_)
             cand = jnp.full((width, _CAND_B), -1, jnp.int32)
             ncand = jnp.zeros((width,), jnp.int32)
-            return node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots
+            return node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots, sh
 
         return body
 
@@ -380,6 +453,7 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
 
     res_t = best_t0
     res_p = best_p0
+    res_sh = sh0
     state = (
         jnp.zeros((n,), jnp.int32),
         best_t0,
@@ -390,6 +464,7 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
         d,
         inv_d,
         jnp.arange(n, dtype=jnp.int32),
+        sh0,
     )
     for i, w in enumerate(widths):
         nxt = widths[i + 1] if i + 1 < len(widths) else 0
@@ -400,9 +475,10 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
             return jnp.any(active) & (jnp.sum(active.astype(jnp.int32)) > nxt)
 
         state = jax.lax.while_loop(cond, make_body(w), state)
-        node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots = state
+        node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots, sh = state
         res_t = res_t.at[slots].set(best_t)
         res_p = res_p.at[slots].set(best_p)
+        res_sh = tuple(r.at[slots].set(v) for r, v in zip(res_sh, sh))
         if nxt:
             active = (node >= 0) | (ncand > 0)
             order = jnp.argsort(~active)[:nxt]  # actives first (stable)
@@ -416,18 +492,139 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh) -> Hit:
                 jnp.take(d_s, order, axis=0),
                 jnp.take(inv_s, order, axis=0),
                 jnp.take(slots, order),
+                tuple(jnp.take(v, order) for v in sh),
             )
-    node, best_t, best_p, _, _, _, _, _, slots = state
+    node, best_t, best_p, _, _, _, _, _, slots, sh = state
     res_t = res_t.at[slots].set(best_t)
     res_p = res_p.at[slots].set(best_p)
-    return Hit(t=res_t, prim=jnp.where(res_t < INF, res_p, -1))
+    res_sh = tuple(r.at[slots].set(v) for r, v in zip(res_sh, sh))
+    return finish(res_t, res_p, res_sh)
+
+
+def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8):
+    """Fused nearest-hit + shade attributes in one chunk scan. o,d: (N,3).
+
+    Same streaming layout as `intersect_brute`, but the fold also carries
+    the winner's shade attributes (face normal / sphere center, material
+    row), selected densely inside each chunk by a one-hot over the chunk's
+    argmin — so no post-hoc per-lane gather over the prim tables is ever
+    needed (TPU gathers measured ~3x the cost of the intersection math
+    itself; see ops/table.py). Returns (Hit, ShadePoint), bit-identical to
+    `intersect_brute` + `shade_point`.
+    """
+    n = o.shape[0]
+    nt = geom.tri_p0.shape[0]
+    ns = geom.sph_c.shape[0]
+    oT = tuple(o[:, i] for i in range(3))
+    dT = tuple(d[:, i] for i in range(3))
+
+    best_t = jnp.full((n,), INF, o.dtype)
+    best_p = jnp.full((n,), -1, jnp.int32)
+    best_m = jnp.full((n,), -1, jnp.int32)
+    # Tri lanes: face normal; sphere lanes: center (normal derived after).
+    best_f = (jnp.zeros((n,), o.dtype),) * 3
+
+    def pad(x, c, fill):
+        m = x.shape[0]
+        p = (-m) % c
+        if p:
+            x = jnp.concatenate([x, jnp.full((p,) + x.shape[1:], fill, x.dtype)], 0)
+        return x
+
+    def fold(carry, t, start, base, offset, attr3, attr_m):
+        """attr3: (C,3) winner payload (normal or center); attr_m: (C,) int."""
+        bt, bp, bm, bf = carry
+        j = jnp.argmin(t, axis=0)  # (N,)
+        tmin = jnp.min(t, axis=0)
+        c = t.shape[0]
+        oh = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) == j[None, :]
+        sel = lambda col: jnp.sum(jnp.where(oh, col[:, None], 0), axis=0)
+        pid = offset + start + sel(base)
+        mid = sel(attr_m)
+        f = tuple(sel(attr3[:, i]) for i in range(3))
+        upd = tmin < bt
+        return (
+            jnp.where(upd, tmin, bt),
+            jnp.where(upd, pid, bp),
+            jnp.where(upd, mid, bm),
+            tuple(jnp.where(upd, f[i], bf[i]) for i in range(3)),
+        )
+
+    carry = (best_t, best_p, best_m, best_f)
+
+    if nt:
+        c = min(chunk, max(8, nt))
+        p0 = pad(geom.tri_p0, c, 0.0).reshape(-1, c, 3)
+        e1 = pad(geom.tri_e1, c, 0.0).reshape(-1, c, 3)
+        e2 = pad(geom.tri_e2, c, 0.0).reshape(-1, c, 3)
+        tn = pad(geom.tri_n, c, 0.0).reshape(-1, c, 3)
+        tm = pad(geom.tri_mat, c, -1).reshape(-1, c)
+        base = jnp.arange(c, dtype=jnp.int32)
+
+        def tri_step(carry, inp):
+            cp0, ce1, ce2, ctn, ctm, start = inp
+            t = _tri_t_T(oT, dT, cp0, ce1, ce2)  # (C, N)
+            return fold(carry, t, start, base, 0, ctn, ctm), None
+
+        starts = jnp.arange(p0.shape[0], dtype=jnp.int32) * c
+        carry, _ = jax.lax.scan(
+            tri_step, carry, (p0, e1, e2, tn, tm, starts), unroll=4
+        )
+
+    if ns:
+        c = min(chunk, max(8, ns))
+        sc = pad(geom.sph_c, c, 0.0).reshape(-1, c, 3)
+        sr = pad(geom.sph_r, c, 0.0).reshape(-1, c)
+        sm = pad(geom.sph_mat, c, -1).reshape(-1, c)
+        base = jnp.arange(c, dtype=jnp.int32)
+
+        def sph_step(carry, inp):
+            cc, cr, cm, start = inp
+            t = _sph_t_T(oT, dT, cc, cr)
+            return fold(carry, t, start, base, nt, cc, cm), None
+
+        starts = jnp.arange(sc.shape[0], dtype=jnp.int32) * c
+        carry, _ = jax.lax.scan(
+            sph_step, carry, (sc, sr, sm, starts), unroll=4
+        )
+
+    best_t, best_p, best_m, best_f = carry
+    hitmask = best_t < INF
+    best_p = jnp.where(hitmask, best_p, -1)
+    hit = Hit(t=best_t, prim=best_p)
+
+    pos = o + d * best_t[..., None]
+    f = jnp.stack(best_f, axis=-1)  # (N,3)
+    is_tri = best_p < nt
+    if ns:
+        sn = vec.safe_normalize(pos - f)
+        normal = jnp.where(is_tri[..., None], f, sn)
+    else:
+        normal = f
+    normal = jnp.where(
+        hitmask[..., None], normal, jnp.array([0.0, 0.0, 1.0], normal.dtype)
+    )
+    mat = jnp.where(hitmask, best_m, -1)
+    return hit, ShadePoint(position=pos, normal=normal, mat=mat, hit=hitmask)
+
+
+def _use_brute(geom: Geometry, mode: str) -> bool:
+    nprim = geom.tri_p0.shape[0] + geom.sph_c.shape[0]
+    return mode == "brute" or (mode == "auto" and nprim <= 512)
 
 
 def intersect(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto") -> Hit:
-    nprim = geom.tri_p0.shape[0] + geom.sph_c.shape[0]
-    if mode == "brute" or (mode == "auto" and nprim <= 512):
+    if _use_brute(geom, mode):
         return intersect_brute(o, d, geom)
     return intersect_bvh(o, d, geom, bvh)
+
+
+def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto"):
+    """(Hit, ShadePoint) fused — hit attributes are selected inside the
+    intersection fold/flush, never gathered from prim tables afterwards."""
+    if _use_brute(geom, mode):
+        return intersect_shade_brute(o, d, geom)
+    return intersect_bvh(o, d, geom, bvh, want_shade=True)
 
 
 def shade_point(o, d, hit: Hit, geom: Geometry) -> ShadePoint:
@@ -444,15 +641,15 @@ def shade_point(o, d, hit: Hit, geom: Geometry) -> ShadePoint:
     if nt:
         tid = jnp.clip(prim, 0, nt - 1)
         normal = jnp.where(
-            is_tri[..., None], jnp.take(geom.tri_n, tid, axis=0), normal
+            is_tri[..., None], take_rows(geom.tri_n, tid), normal
         )
-        mat = jnp.where(is_tri, jnp.take(geom.tri_mat, tid, axis=0), mat)
+        mat = jnp.where(is_tri, take_rows(geom.tri_mat, tid), mat)
     if ns:
         sid = jnp.clip(prim - nt, 0, ns - 1)
-        c = jnp.take(geom.sph_c, sid, axis=0)
+        c = take_rows(geom.sph_c, sid)
         sn = vec.safe_normalize(pos - c)
         normal = jnp.where(is_tri[..., None], normal, sn)
-        mat = jnp.where(is_tri, mat, jnp.take(geom.sph_mat, sid, axis=0))
+        mat = jnp.where(is_tri, mat, take_rows(geom.sph_mat, sid))
 
     mat = jnp.where(hitmask, mat, -1)
     # Miss lanes get a unit dummy normal: downstream basis construction and

@@ -302,18 +302,39 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
         light_prim = np.array([0], np.int32)
         light_area = np.zeros(1)
         cdf = np.zeros(1)
+    # Light-local geometry (emitters are few; see LightTable docstring).
+    nlt = light_prim.shape[0]
+    l_is_tri = np.zeros(nlt, np.int32)
+    l_p0 = np.zeros((nlt, 3))
+    l_e1 = np.zeros((nlt, 3))
+    l_e2 = np.zeros((nlt, 3))
+    l_c = np.zeros((nlt, 3))
+    l_r = np.zeros(nlt)
+    ntri = p0.shape[0]
+    for k, pid in enumerate(light_prim):
+        if pid < ntri and ntri:
+            l_is_tri[k] = 1
+            l_p0[k], l_e1[k], l_e2[k] = p0[pid], e1[pid], e2[pid]
+        elif s_r.size:
+            l_c[k], l_r[k] = s_c[pid - ntri], s_r[pid - ntri]
     lights = LightTable(
         prim=light_prim,
         area=light_area,
         cdf=cdf,
         total_area=np.float64(total_area),
+        is_tri=l_is_tri,
+        p0=l_p0,
+        e1=l_e1,
+        e2=l_e2,
+        c=l_c,
+        r=l_r,
     )
 
     # Treelet BVH over triangles (spheres stay brute-force in traversal).
     t_bvh = time.monotonic()
     from ..accel.pack import build_tri_bvh
 
-    bvh = Bvh(**build_tri_bvh(p0, e1, e2))
+    bvh = Bvh(**build_tri_bvh(p0, e1, e2, tri_n=tri_n, tri_mat=t_mat))
     bvh_seconds = time.monotonic() - t_bvh
 
     # Sky (`description.rs:58-65`; missing [sky] -> black uniform).

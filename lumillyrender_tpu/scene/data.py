@@ -67,12 +67,23 @@ class Geometry:
 
 @dataclass
 class LightTable:
-    """Area-emissive primitives for NEE (`objects.rs:18-51`)."""
+    """Area-emissive primitives for NEE (`objects.rs:18-51`).
+
+    Carries light-local copies of the emitter geometry so point-on-light
+    sampling never gathers from the (possibly huge) global prim tables —
+    the light table itself stays tiny, so the wavefront selects rows with
+    dense one-hot sums (ops/table.py)."""
 
     prim: jax.Array  # (L,) int32 prim ids
     area: jax.Array  # (L,)
     cdf: jax.Array  # (L,) inclusive prefix sum of areas
     total_area: jax.Array  # () sum of areas
+    is_tri: jax.Array  # (L,) int32 1 = triangle, 0 = sphere
+    p0: jax.Array  # (L, 3) triangle vertex (zeros for spheres)
+    e1: jax.Array  # (L, 3)
+    e2: jax.Array  # (L, 3)
+    c: jax.Array  # (L, 3) sphere center (zeros for triangles)
+    r: jax.Array  # (L,) sphere radius
 
 
 @dataclass
@@ -96,7 +107,9 @@ class Bvh:
     blk_p0: jax.Array  # (L, K, 3)
     blk_e1: jax.Array  # (L, K, 3)
     blk_e2: jax.Array  # (L, K, 3)
+    blk_n: jax.Array  # (L, K, 3) precomputed unit face normals
     blk_prim: jax.Array  # (L, K) int32 original tri prim id, -1 padding
+    blk_mat: jax.Array  # (L, K) int32 material row, -1 padding
 
 
 @dataclass

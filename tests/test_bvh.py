@@ -111,3 +111,49 @@ def test_reference_cost_model_split():
     assert rb.leaf_start[0] == -1
     left_prims = sorted(rb.perm[:2].tolist())
     assert left_prims == [0, 1]
+
+
+def test_bvh_fused_shade_matches_brute():
+    """intersect_bvh(want_shade=True) == brute + shade_point on a random
+    triangle cloud with spheres and mixed material rows."""
+    import numpy as np
+    from lumillyrender_tpu.accel.pack import build_tri_bvh
+    from lumillyrender_tpu.ops.intersect import (
+        intersect_brute,
+        intersect_bvh,
+        shade_point,
+    )
+    from lumillyrender_tpu.scene.data import Bvh, Geometry, as_device
+
+    rng = np.random.default_rng(11)
+    nt, ns, n = 300, 4, 512
+    p0 = rng.uniform(-5, 5, (nt, 3))
+    e1 = rng.uniform(-1.5, 1.5, (nt, 3))
+    e2 = rng.uniform(-1.5, 1.5, (nt, 3))
+    nrm = np.cross(e1, e2)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    tmat = (np.arange(nt) % 5).astype(np.int32)
+    geom = as_device(Geometry(
+        tri_p0=p0, tri_e1=e1, tri_e2=e2, tri_n=nrm, tri_mat=tmat,
+        sph_c=rng.uniform(-5, 5, (ns, 3)),
+        sph_r=rng.uniform(0.2, 1.0, ns),
+        sph_mat=((np.arange(ns) + 2) % 5).astype(np.int32),
+    ))
+    bvh = as_device(Bvh(**build_tri_bvh(p0, e1, e2, tri_n=nrm, tri_mat=tmat,
+                                        max_leaf=8)))
+
+    o = jnp.asarray(rng.uniform(-8, 8, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    hit_ref = intersect_brute(o, d, geom)
+    sp_ref = shade_point(o, d, hit_ref, geom)
+    hit, sp = intersect_bvh(o, d, geom, bvh, want_shade=True)
+
+    assert int(jnp.sum(hit.prim >= 0)) > 50
+    np.testing.assert_array_equal(np.asarray(hit.t), np.asarray(hit_ref.t))
+    np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(hit_ref.prim))
+    np.testing.assert_array_equal(np.asarray(sp.mat), np.asarray(sp_ref.mat))
+    np.testing.assert_allclose(
+        np.asarray(sp.normal), np.asarray(sp_ref.normal), atol=1e-6
+    )

@@ -144,3 +144,74 @@ def test_nearest_of_many():
     hit = intersect_brute(o, d, geom)
     assert int(hit.prim[0]) == 0
     assert abs(float(hit.t[0]) - 2.0) < 1e-5
+
+
+def _random_geom(rng, nt=23, ns=5):
+    p0 = rng.uniform(-4, 4, (nt, 3)).astype(np.float32)
+    p1 = p0 + rng.uniform(-2, 2, (nt, 3)).astype(np.float32)
+    p2 = p0 + rng.uniform(-2, 2, (nt, 3)).astype(np.float32)
+    tris = [(p0[i], p1[i], p2[i]) for i in range(nt)]
+    spheres = [
+        (rng.uniform(-4, 4, 3).astype(np.float32), float(rng.uniform(0.3, 1.5)))
+        for _ in range(ns)
+    ]
+    g = make_geom(tris, spheres)
+    # Distinct material rows so the fused mat select is actually exercised.
+    return Geometry(
+        tri_p0=g.tri_p0, tri_e1=g.tri_e1, tri_e2=g.tri_e2, tri_n=g.tri_n,
+        tri_mat=jnp.asarray(np.arange(nt) % 7, jnp.int32),
+        sph_c=g.sph_c, sph_r=g.sph_r,
+        sph_mat=jnp.asarray((np.arange(ns) + 3) % 7, jnp.int32),
+    )
+
+
+def test_fused_intersect_shade_matches_separate():
+    """intersect_shade_brute == intersect_brute + shade_point, bitwise."""
+    from lumillyrender_tpu.ops.intersect import intersect_shade_brute
+
+    rng = np.random.default_rng(7)
+    geom = _random_geom(rng)
+    n = 512
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    hit_ref = intersect_brute(o, d, geom)
+    sp_ref = shade_point(o, d, hit_ref, geom)
+    hit, sp = intersect_shade_brute(o, d, geom)
+
+    assert bool(jnp.any(hit.prim >= 0)), "degenerate test: nothing hit"
+    np.testing.assert_array_equal(np.asarray(hit.t), np.asarray(hit_ref.t))
+    np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(hit_ref.prim))
+    np.testing.assert_array_equal(np.asarray(sp.hit), np.asarray(sp_ref.hit))
+    np.testing.assert_array_equal(np.asarray(sp.mat), np.asarray(sp_ref.mat))
+    np.testing.assert_allclose(
+        np.asarray(sp.normal), np.asarray(sp_ref.normal), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp.position), np.asarray(sp_ref.position)
+    )
+
+
+def test_dense_take_rows_matches_take():
+    from lumillyrender_tpu.ops.table import take_rows
+
+    rng = np.random.default_rng(3)
+    t1 = jnp.asarray(rng.normal(size=(11,)), jnp.float32)
+    t2 = jnp.asarray(rng.normal(size=(11, 3)), jnp.float32)
+    ti = jnp.asarray(rng.integers(0, 50, (11,)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, 11, (200,)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(t1, idx)), np.asarray(jnp.take(t1, idx, axis=0))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(t2, idx)), np.asarray(jnp.take(t2, idx, axis=0))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(ti, idx)), np.asarray(jnp.take(ti, idx, axis=0))
+    )
+    # Multi-dim index shapes round-trip.
+    idx2 = idx.reshape(20, 10)
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(t2, idx2)), np.asarray(jnp.take(t2, idx2, axis=0))
+    )
