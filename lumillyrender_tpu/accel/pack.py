@@ -24,8 +24,6 @@ TREELET_K = int(os.environ.get("LLR_TREELET_K", "64"))
 
 def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
                   max_leaf: int | None = None):
-    if max_leaf is None:
-        max_leaf = TREELET_K
     """Returns dict of numpy arrays matching scene.data.Bvh fields.
 
     `tri_n` / `tri_mat` fill the per-block shade payload (`blk_n`,
@@ -33,6 +31,8 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
     row without any post-hoc gather into the global tables; omitted (tests)
     they default to recomputed face normals / material row 0.
     """
+    if max_leaf is None:
+        max_leaf = TREELET_K
     t = tri_p0.shape[0]
     k = max_leaf
     if tri_n is None and t:

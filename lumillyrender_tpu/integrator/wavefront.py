@@ -66,12 +66,21 @@ def _sample_light_point(scene: SceneData, u_pick, u1, u2):
     by dense one-hot rows — no gather into the global prim tables."""
     lights = scene.lights
     roulette = lights.total_area * u_pick
-    # searchsorted(left) == count of cdf entries strictly below roulette;
-    # the dense count keeps N on vector lanes (cdf is tiny).
-    li = jnp.sum(
-        (lights.cdf[:, None] < roulette[None, :]).astype(jnp.int32), axis=0
-    )
-    li = jnp.clip(li, 0, lights.prim.shape[0] - 1)
+    n_lights = lights.prim.shape[0]
+    if n_lights <= table.DENSE_MAX:
+        # searchsorted(left) == count of cdf entries strictly below roulette;
+        # the dense count keeps N on vector lanes (cdf is tiny).
+        li = jnp.sum(
+            (lights.cdf[:, None] < roulette[None, :]).astype(jnp.int32), axis=0
+        )
+    else:
+        # Emissive meshes make every emissive triangle its own light prim, so
+        # L can reach the thousands; the dense (L, N) matrix would be O(L*N)
+        # compute and memory per bounce. Log-time searchsorted instead (the
+        # light-local take_rows below falls back to jnp.take at the same
+        # threshold).
+        li = jnp.searchsorted(lights.cdf, roulette, side="left").astype(jnp.int32)
+    li = jnp.clip(li, 0, n_lights - 1)
 
     is_tri = table.take_rows(lights.is_tri, li) > 0
     # Triangle sample: min/max trick (`triangle.rs:140-149`).

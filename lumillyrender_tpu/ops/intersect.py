@@ -13,7 +13,9 @@ Two interchangeable intersectors (identical results, different perf):
 * `intersect_bvh` — stackless threaded-BVH cursor traversal (see
   `accel/sah.py` for the layout). Ordered, t-max-pruned; unlike the
   reference's collect-then-test traversal (`bvh.rs:131-141`) no per-ray
-  allocation exists. Same nearest hit by construction.
+  allocation exists. Same nearest hit up to float-contraction noise: no
+  candidate is ever dropped, but XLA picks different FMA groupings for the
+  two layouts, so t can differ by ~1e-6 relative (tie-breaks may then flip).
 """
 
 from __future__ import annotations
@@ -263,9 +265,10 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False):
     treelet ids; every S steps the buffer is flushed — B contiguous block
     gathers + B*K dense MT tests — and best_t tightens (pruning later
     subtrees). Lanes with a full buffer stall until the next flush; no
-    candidate is ever dropped, so the nearest hit matches brute force
-    exactly. (Echoes the reference's collect-then-test `bvh.rs:131-141`,
-    minus its per-ray Vec allocation and unordered full test.)
+    candidate is ever dropped, so the nearest hit matches brute force up to
+    float-contraction (FMA-grouping) noise in t. (Echoes the reference's
+    collect-then-test `bvh.rs:131-141`, minus its per-ray Vec allocation and
+    unordered full test.)
 
     With `want_shade` the winner's shade attributes (precomputed face
     normal / sphere center, material row) ride the flush one-hot selects,

@@ -24,9 +24,12 @@ DENSE_MAX = 192
 
 
 def take_rows(table, idx):
-    """Rows of `table` ((M,) or (M, C)) at `idx` (int array, pre-clamped to
-    [0, M)). Dense one-hot path for small M; `jnp.take` otherwise."""
+    """Rows of `table` ((M,) or (M, C)) at `idx` (int array). Dense one-hot
+    path for small M; `jnp.take` otherwise. idx is clamped to [0, M) here so
+    both paths agree on out-of-range semantics (the one-hot path would
+    otherwise return zero rows while jnp.take clamps)."""
     m = table.shape[0]
+    idx = jnp.clip(idx, 0, m - 1)
     if m > DENSE_MAX:
         return jnp.take(table, idx, axis=0)
     shape = idx.shape
