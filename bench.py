@@ -1,6 +1,10 @@
-"""Benchmark: rays/s/chip (forward) on the new-cbox flagship scene.
+"""Benchmark: rays/s/chip on the new-cbox flagship scene (fwd and fwd+bwd).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+`value` is the forward rays/s (the north-star headline, comparable across
+rounds); `extra.fwd_bwd_rays_per_second` is the same methodology through a
+full value_and_grad training step (render + L2 loss + material/camera
+gradients) — BASELINE.json requires both.
 
 The reference publishes no perf numbers (BASELINE.md), so the baseline is
 self-established: the first TPU measurement is stored in
@@ -25,6 +29,8 @@ sys.path.insert(0, str(REPO))
 SPP_CHUNK = 32
 MEASURE_CHUNKS = 5
 RESOLUTION = 256
+BWD_SPP = 4  # fwd+bwd wavefront: 256^2 x 4 spp per step
+BWD_STEPS = 3
 
 
 def main() -> None:
@@ -73,6 +79,47 @@ def main() -> None:
     seconds = time.monotonic() - t0
     value = total_rays / seconds
 
+    # fwd+bwd: one jitted training step (differentiable render + L2 loss +
+    # grads w.r.t. all material/camera params), same ray-count methodology.
+    import jax
+    import jax.numpy as jnp
+
+    from lumillyrender_tpu.diff.render import params_of, render_diff
+
+    params = params_of(scene)
+    target = jnp.zeros((settings.height, settings.width, 3), jnp.float32)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=())
+    def train_step(scene, params, seed):
+        def loss_fn(p):
+            film, rays = render_diff(
+                scene, settings, p, seed, BWD_SPP, with_rays=True
+            )
+            return jnp.mean((film - target) ** 2), rays
+
+        (loss, rays), grads = jax.value_and_grad(
+            loss_fn, has_aux=True, allow_int=True
+        )(params)
+        gsum = sum(
+            jnp.sum(jnp.abs(g))
+            for g in jax.tree_util.tree_leaves(grads)
+            if g.dtype != jax.dtypes.float0
+        )
+        return loss + 0.0 * gsum, rays
+
+    loss, rays = train_step(scene, params, 100)
+    float(loss)  # warm-up + compile
+    t0 = time.monotonic()
+    bwd_rays = 0.0
+    for i in range(BWD_STEPS):
+        loss, rays = train_step(scene, params, 101 + i)
+        bwd_rays += float(rays)
+        float(loss)
+    bwd_seconds = time.monotonic() - t0
+    fwd_bwd_value = bwd_rays / bwd_seconds
+
     baseline_file = REPO / "bench_baseline.json"
     if baseline_file.exists():
         baseline = json.loads(baseline_file.read_text())["value"]
@@ -89,6 +136,10 @@ def main() -> None:
                 "value": value,
                 "unit": "rays/s",
                 "vs_baseline": value / baseline,
+                "extra": {
+                    "fwd_bwd_rays_per_second": fwd_bwd_value,
+                    "fwd_bwd_config": f"{RESOLUTION}^2 x {BWD_SPP} spp full train step",
+                },
             }
         )
     )

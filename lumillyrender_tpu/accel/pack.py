@@ -22,6 +22,60 @@ import os
 TREELET_K = int(os.environ.get("LLR_TREELET_K", "64"))
 
 
+def _pack_kernel_tables(node_min, node_max, node_miss, node_leaf,
+                        blk_p0, blk_e1, blk_e2, blk_n, blk_prim, blk_mat):
+    """Pallas-kernel layouts (see ops/pallas_bvh.py for the access scheme).
+
+    * pk_nodes (Nn, 8) f32 — node i at row i: [min3 | max3 | miss | leaf],
+      links exact as f32. Lane index is STATIC (0..7) and the sublane index
+      dynamic — the only scalar-read shape Mosaic accepts from VMEM.
+    * pk_blk (L*RPB, 128) f32 — block b's 12 components (p0,e1,e2,n xyz),
+      each K wide, flattened comp-major into RPB=ceil(12K/128) rows.
+    * pk_pm (L*RPM, 128) i32 — [prim(K) | mat(K)] per block likewise.
+
+    Requires K | 128 so every component stays within one packed row at a
+    static lane offset; otherwise emits empty tables (kernel path disabled).
+    """
+    k = blk_p0.shape[1]
+    if k <= 0 or 128 % k != 0:
+        return dict(
+            pk_nodes=np.zeros((1, 8), np.float32),
+            pk_blk=np.zeros((1, 128), np.float32),
+            pk_pm=np.full((1, 128), -1, np.int32),
+        )
+    pk_nodes = np.concatenate(
+        [
+            node_min.astype(np.float32),
+            node_max.astype(np.float32),
+            node_miss.astype(np.float32)[:, None],
+            node_leaf.astype(np.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+    l = blk_p0.shape[0]
+    comps = np.concatenate(
+        [
+            np.swapaxes(blk_p0, 1, 2),
+            np.swapaxes(blk_e1, 1, 2),
+            np.swapaxes(blk_e2, 1, 2),
+            np.swapaxes(blk_n, 1, 2),
+        ],
+        axis=1,
+    )  # (L, 12, K)
+    rpb = (12 * k + 127) // 128
+    pk_blk = np.zeros((l, rpb * 128), np.float32)
+    pk_blk[:, : 12 * k] = comps.reshape(l, 12 * k)
+    pk_blk = pk_blk.reshape(l * rpb, 128).astype(np.float32)
+
+    rpm = (2 * k + 127) // 128
+    pk_pm = np.full((l, rpm * 128), -1, np.int32)
+    pk_pm[:, :k] = blk_prim
+    pk_pm[:, k : 2 * k] = blk_mat
+    pk_pm = pk_pm.reshape(l * rpm, 128)
+    return dict(pk_nodes=pk_nodes, pk_blk=pk_blk, pk_pm=pk_pm)
+
+
 def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
                   max_leaf: int | None = None):
     """Returns dict of numpy arrays matching scene.data.Bvh fields.
@@ -42,7 +96,7 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
     if tri_mat is None:
         tri_mat = np.zeros(t, np.int32)
     if t == 0:
-        return dict(
+        out = dict(
             node_min=np.zeros((1, 3), np.float32),
             node_max=np.zeros((1, 3), np.float32),
             node_miss=np.full((1,), -1, np.int32),
@@ -54,6 +108,14 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
             blk_prim=np.full((1, k), -1, np.int32),
             blk_mat=np.full((1, k), -1, np.int32),
         )
+        out.update(
+            _pack_kernel_tables(
+                out["node_min"], out["node_max"], out["node_miss"],
+                out["node_leaf"], out["blk_p0"], out["blk_e1"],
+                out["blk_e2"], out["blk_n"], out["blk_prim"], out["blk_mat"],
+            )
+        )
+        return out
 
     p1 = tri_p0 + tri_e1
     p2 = tri_p0 + tri_e2
@@ -84,7 +146,7 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
         blk_mat[b, :n] = tri_mat[ids]
         node_leaf[node] = b
 
-    return dict(
+    out = dict(
         node_min=rb.node_min,
         node_max=rb.node_max,
         node_miss=rb.node_miss,
@@ -96,6 +158,13 @@ def build_tri_bvh(tri_p0, tri_e1, tri_e2, tri_n=None, tri_mat=None,
         blk_prim=blk_prim,
         blk_mat=blk_mat,
     )
+    out.update(
+        _pack_kernel_tables(
+            rb.node_min, rb.node_max, rb.node_miss, node_leaf,
+            blk_p0, blk_e1, blk_e2, blk_n, blk_prim, blk_mat,
+        )
+    )
+    return out
 
 
 def _build_ranges(mins, maxs, centers, max_leaf):

@@ -35,6 +35,13 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--devices", type=int, default=0,
                         help="Shard across N devices (0 = single device)")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="Multi-host: jax.distributed coordinator address "
+                             "(with --num-processes/--process-id, or the "
+                             "LLR_COORDINATOR/LLR_NUM_PROCESSES/LLR_PROCESS_ID "
+                             "env vars)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--aov", choices=("normal", "depth"), default=None,
                         help="Render a debug AOV instead of radiance")
     parser.add_argument("--checkpoint", default=None,
@@ -52,6 +59,19 @@ def main(argv=None) -> int:
     print(f"loading: {args.scene}")
 
     import jax
+
+    from .parallel.shard import init_distributed
+
+    # Multi-host: must run before any other JAX usage so the coordinator
+    # handshake happens ahead of backend initialization.
+    distributed = init_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    if distributed:
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+            f" ({jax.device_count()} global devices)"
+        )
 
     cache_dir = Path(__file__).resolve().parents[1] / ".jax_cache"
     try:
@@ -88,11 +108,14 @@ def main(argv=None) -> int:
 
     telemetry = RenderTelemetry() if args.telemetry else None
     with profiler_trace(args.profile):
-        if args.devices and args.devices > 1:
+        n_dev = args.devices
+        if distributed and not n_dev:
+            n_dev = jax.device_count()  # span the whole cluster by default
+        if n_dev and n_dev > 1:
             from .parallel.shard import render_sharded
 
             result = render_sharded(
-                compiled, seed=args.seed, n_devices=args.devices
+                compiled, seed=args.seed, n_devices=n_dev
             )
         else:
             from .integrator.render import render
@@ -104,6 +127,11 @@ def main(argv=None) -> int:
             )
     if telemetry is not None:
         print(json.dumps(telemetry.summary()))
+
+    if distributed and jax.process_index() != 0:
+        # Film is replicated; only the coordinator process writes it.
+        print(f"rays/s: {result.rays_per_second:.3e}")
+        return 0
 
     print("saving...")
     fmt = compiled.config.film.output

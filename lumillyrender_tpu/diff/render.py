@@ -31,18 +31,32 @@ import jax.numpy as jnp
 from ..integrator.wavefront import trace
 from ..ops import camera as camera_ops
 from ..ops import rng
-from ..scene.data import CameraData, MaterialTable, RenderSettings, SceneData
+from ..scene.data import (
+    CameraData,
+    MaterialTable,
+    RenderSettings,
+    SceneData,
+    SkyData,
+)
 
 
 class DiffParams(NamedTuple):
-    """The differentiable parameter set."""
+    """The differentiable parameter set.
+
+    `sky` includes the IBL texture itself: environment-map gradients flow
+    through the equirect nearest-neighbor gather at every miss (the texel
+    pick is inherently discrete; given the texel, radiance is linear in it).
+    """
 
     materials: MaterialTable
     camera: CameraData
+    sky: SkyData
 
 
 def params_of(scene: SceneData) -> DiffParams:
-    return DiffParams(materials=scene.materials, camera=scene.camera)
+    return DiffParams(
+        materials=scene.materials, camera=scene.camera, sky=scene.sky
+    )
 
 
 def render_diff(
@@ -53,7 +67,8 @@ def render_diff(
     spp: int,
     sample_offsets=None,
     params_sample: DiffParams | None = None,
-) -> jax.Array:
+    with_rays: bool = False,
+):
     """Differentiable film (H, W, 3) as a function of `params`.
 
     Sampling decisions use stop_gradient(params); shading uses live params.
@@ -62,14 +77,22 @@ def render_diff(
     `params_sample` pins the sampling-decision parameters explicitly — the
     FD-vs-autodiff gate holds the sampling measure fixed on both sides by
     passing theta0 here while FD perturbs only the eval params.
+    `with_rays=True` returns (film, rays_traced) — rays counted with the
+    same methodology as the forward renderer (camera + live bounce + NEE
+    shadow rays), for the fwd+bwd throughput benchmark.
     """
     detached = (
         jax.lax.stop_gradient(params)
         if params_sample is None
         else jax.lax.stop_gradient(params_sample)
     )
-    # Scene copy whose material table drives sampling decisions only.
-    scene_s = replace(scene, materials=detached.materials, camera=params.camera)
+    # Scene copy whose material table drives sampling decisions only. The
+    # sky is purely part of the shading chain (nothing is sampled from it),
+    # so the live sky params go straight in.
+    scene_s = replace(
+        scene, materials=detached.materials, camera=params.camera,
+        sky=params.sky,
+    )
 
     w, h = settings.width, settings.height
     n = w * h * spp
@@ -85,7 +108,7 @@ def render_diff(
     o, d, pdf, g = camera_ops.sample_rays(
         params.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )
-    radiance, _ = trace(
+    radiance, rays = trace(
         scene_s,
         settings,
         o,
@@ -97,6 +120,8 @@ def render_diff(
     )
     weight = (g * params.camera.sensor_sensitivity / pdf)[..., None]
     film = jnp.mean((radiance * weight).reshape(spp, h, w, 3), axis=0)
+    if with_rays:
+        return film, rays + jnp.float32(n)  # + camera rays
     return film
 
 

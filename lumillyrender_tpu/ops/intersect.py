@@ -257,7 +257,8 @@ _CAND_B = 4  # candidate treelet slots per lane between flushes
 _WALK_S = 16  # node-walk steps per outer iteration
 
 
-def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False):
+def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
+                  use_pallas: bool = False, pallas_interpret: bool = False):
     """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
 
     TPU gathers run far below streaming bandwidth, so the inner walk touches
@@ -317,6 +318,27 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False):
 
     if nt == 0:
         return finish(best_t0, best_p0, sh0)
+
+    if use_pallas:
+        # Packet-traversal Pallas kernel (ops/pallas_bvh.py): the sphere
+        # pre-pass t is the prune threshold; tri winners overwrite it.
+        from . import pallas_bvh
+
+        outs = pallas_bvh.intersect_tris_pallas(
+            o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
+            interpret=pallas_interpret,
+        )
+        t_tri, prim = outs[0], outs[1]
+        won = prim >= 0
+        # Where no tri won, keep the ORIGINAL best_t0 (the kernel returns
+        # the detached t_init there; sphere-lane gradients must still flow).
+        res_t = jnp.where(won, t_tri, best_t0)
+        res_p = jnp.where(won, prim, best_p0)
+        if want_shade:
+            m = jnp.where(won, outs[2], sh0[0])
+            f = tuple(jnp.where(won, outs[3 + c], sh0[1 + c]) for c in range(3))
+            return finish(res_t, res_p, (m, *f))
+        return finish(res_t, res_p, ())
 
     # Packed node row: min(3) max(3) miss leaf — one gather per step. Links
     # are exact as f32 (node/block counts stay far below 2^24).
@@ -616,17 +638,57 @@ def _use_brute(geom: Geometry, mode: str) -> bool:
     return mode == "brute" or (mode == "auto" and nprim <= 512)
 
 
-def intersect(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto") -> Hit:
+def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
+    """Pick the intersector backend: 'brute' | 'bvh' | 'pallas'.
+
+    'auto' = brute below the measured crossover, else the Pallas packet
+    kernel when running on TPU and the tables fit VMEM, else the XLA walk.
+    Forcing mode='pallas' off-TPU runs the kernel in interpreter mode
+    (slow; for tests/debugging).
+    """
     if _use_brute(geom, mode):
+        return "brute"
+    from . import pallas_bvh
+
+    if mode == "pallas":
+        return "pallas"
+    if (
+        mode == "auto"
+        and geom.tri_p0.shape[0] > 0
+        and pallas_bvh.on_tpu()
+        and pallas_bvh.supported(bvh)
+    ):
+        return "pallas"
+    return "bvh"
+
+
+def intersect(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto") -> Hit:
+    backend = _resolve(geom, bvh, mode)
+    if backend == "brute":
         return intersect_brute(o, d, geom)
+    if backend == "pallas":
+        from . import pallas_bvh
+
+        return intersect_bvh(
+            o, d, geom, bvh, use_pallas=True,
+            pallas_interpret=not pallas_bvh.on_tpu(),
+        )
     return intersect_bvh(o, d, geom, bvh)
 
 
 def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto"):
     """(Hit, ShadePoint) fused — hit attributes are selected inside the
     intersection fold/flush, never gathered from prim tables afterwards."""
-    if _use_brute(geom, mode):
+    backend = _resolve(geom, bvh, mode)
+    if backend == "brute":
         return intersect_shade_brute(o, d, geom)
+    if backend == "pallas":
+        from . import pallas_bvh
+
+        return intersect_bvh(
+            o, d, geom, bvh, want_shade=True, use_pallas=True,
+            pallas_interpret=not pallas_bvh.on_tpu(),
+        )
     return intersect_bvh(o, d, geom, bvh, want_shade=True)
 
 

@@ -15,6 +15,7 @@ virtual 8-device CPU mesh (`tests/conftest.py`).
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -32,12 +33,52 @@ from ..scene.compiler import CompiledScene
 from ..scene.data import RenderSettings, SceneData
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host entry point: `jax.distributed.initialize` from explicit
+    args or the LLR_COORDINATOR / LLR_NUM_PROCESSES / LLR_PROCESS_ID env
+    vars. Returns True if distributed mode was initialized.
+
+    After this, `jax.devices()` spans every host; the same `make_mesh` +
+    `shard_map` code below runs unchanged — film/grad psums ride ICI within
+    a slice and DCN across slices. Call before any other JAX usage.
+    (Exercised cross-process by tests/test_multihost.py on two CPU
+    processes x 4 virtual devices.)
+    """
+    coordinator = coordinator or os.environ.get("LLR_COORDINATOR")
+    if not coordinator:
+        return False
+    num_processes = int(
+        num_processes
+        if num_processes is not None
+        else os.environ["LLR_NUM_PROCESSES"]
+    )
+    process_id = int(
+        process_id if process_id is not None else os.environ["LLR_PROCESS_ID"]
+    )
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+    devs = jax.devices()  # global across processes after init_distributed
     n = n_devices or len(devs)
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n]), ("dp",))
+
+
+def put_sharded(np_array: np.ndarray, sharding: NamedSharding):
+    """Host array -> global sharded device array; works in both single- and
+    multi-process mode (each process materializes only its local shards)."""
+    return jax.make_array_from_callback(
+        np_array.shape, sharding, lambda idx: np_array[idx]
+    )
 
 
 def _chunk_body(scene: SceneData, settings: RenderSettings, seed, offsets):
@@ -163,7 +204,7 @@ def render_sharded(
         # Pad the tail chunk: extra samples are still averaged (slightly
         # lower-variance tail, never biased — every sample is i.i.d.).
         offsets = np.arange(done, done + chunk, dtype=np.int32)
-        offsets = jax.device_put(jnp.asarray(offsets), sharding)
+        offsets = put_sharded(offsets, sharding)
         part, rays = fn(compiled.data, seed, offsets)
         film += np.asarray(part)
         total_rays += float(rays)

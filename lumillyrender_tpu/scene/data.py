@@ -110,6 +110,12 @@ class Bvh:
     blk_n: jax.Array  # (L, K, 3) precomputed unit face normals
     blk_prim: jax.Array  # (L, K) int32 original tri prim id, -1 padding
     blk_mat: jax.Array  # (L, K) int32 material row, -1 padding
+    # Pallas packet-traversal kernel layouts (ops/pallas_bvh.py); built
+    # host-side by accel/pack.py:_pack_kernel_tables. Same data, packed
+    # into full 128-lane rows so the kernel does scalar/row reads only.
+    pk_nodes: jax.Array  # (Nn, 8) f32 — [min3 | max3 | miss | leaf]
+    pk_blk: jax.Array  # (L*RPB, 128) f32 — 12 comps x K per block
+    pk_pm: jax.Array  # (L*RPM, 128) i32 — [prim(K) | mat(K)] per block
 
 
 @dataclass

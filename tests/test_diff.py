@@ -212,6 +212,67 @@ def test_emission_grad_analytic_direct_view():
     assert np.allclose(ge, ge[0])  # channel-symmetric by construction
 
 
+def _with_ibl(c, h=8, seed=2):
+    """Swap the compiled scene's uniform sky for a random IBL texture."""
+    from lumillyrender_tpu.scene.data import SKY_IBL, SkyData
+
+    img = np.random.default_rng(seed).random((h, 2 * h, 3)).astype(np.float32)
+    img = img * 0.8 + 0.2
+    c.data = dataclasses.replace(
+        c.data,
+        sky=SkyData(
+            color=jnp.zeros(3),
+            color2=jnp.zeros(3),
+            ibl=jnp.asarray(img),
+            longitude_offset=jnp.float32(6.0),
+        ),
+    )
+    c.settings = dataclasses.replace(c.settings, sky_kind=SKY_IBL)
+    return c
+
+
+def _set_sky_texel(params: DiffParams, idx, value) -> DiffParams:
+    sky = params.sky
+    return params._replace(
+        sky=dataclasses.replace(sky, ibl=sky.ibl.at[idx].set(value))
+    )
+
+
+def test_albedo_grad_matches_fd_through_ibl():
+    """BASELINE config 5 gate: material gradients with the IBL sky lighting
+    the scene — the miss path's texel gather sits inside the backward chain."""
+    c = _with_ibl(scene_for())
+    g_ad, g_fd = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.materials.color[1, 0],
+        set_leaf=lambda p, v: _set_mat(p, "color", (1, 0), v),
+        eps=2e-2, atol=2e-4, rtol=0.08,
+    )
+    assert g_ad > 0  # IBL is strictly positive -> brighter albedo, brighter image
+
+
+def test_ibl_texel_grad_matches_fd():
+    """Environment-map gradient: film is LINEAR in each texel given the
+    (detached) texel pick, so AD must match FD to float32 precision."""
+    c = _with_ibl(scene_for(integrator="pt"))
+    params0 = params_of(c.data)
+    g = jax.grad(lambda p: objective(c, p, params0), allow_int=True)(params0)
+    g_tex = np.asarray(g.sky.ibl)
+    assert g_tex.shape == c.data.sky.ibl.shape
+    assert (g_tex >= 0).all() and g_tex.sum() > 0
+    # FD on the single most-hit texel.
+    idx = np.unravel_index(np.argmax(g_tex), g_tex.shape)
+    f = jax.jit(lambda p: objective(c, p, params0))
+    eps = 0.1
+    v0 = float(params0.sky.ibl[idx])
+    g_fd = (
+        float(f(_set_sky_texel(params0, idx, v0 + eps)))
+        - float(f(_set_sky_texel(params0, idx, v0 - eps)))
+    ) / (2 * eps)
+    g_ad = float(g_tex[idx])
+    assert abs(g_ad - g_fd) < 1e-5 + 0.01 * abs(g_fd), (g_ad, g_fd)
+
+
 def test_inverse_rendering_converges():
     """End-to-end: recover a perturbed albedo by gradient descent against a
     rendered target."""

@@ -242,6 +242,83 @@ def test_omnidirectional_camera(assets_dir):
     assert r.film.mean() > 0.001
 
 
+def test_compaction_overflow_is_unbiased(monkeypatch):
+    """Force pop-RR capacity OVERFLOW (stage width << live lanes) and verify
+    the population-control reweighting stays unbiased: the compacted
+    estimator's mean over many independent seeds must agree with the
+    uncompacted estimator within the combined MC standard error.
+
+    This exercises the scale = alive/width > 1 branch of `_compact`, which
+    `test_compaction_matches_plain` (no overflow, exact parity) never hits.
+    """
+    from lumillyrender_tpu.integrator import wavefront
+
+    # High-albedo CLOSED enclosure (camera sits inside the shell sphere) so
+    # nearly every path is still alive at the forced compaction cut.
+    shell = """
+[[object]]
+mesh = "shell"
+material = "white"
+
+[[mesh]]
+name = "shell"
+type = "sphere"
+radius = 50
+"""
+    cfg = parse_config(
+        NEE_SCENE.replace("SPP", "16")
+        .replace("INTEGRATOR", "pt-direct")
+        .replace("albedo = [0.8, 0.8, 0.8]", "albedo = [0.9, 0.9, 0.9]")
+        .replace("resolution = [32, 32]", "resolution = [16, 16]")
+        + shell
+    )
+    c = compile_scene(cfg)
+
+    means_plain, means_comp = [], []
+    seeds = range(40)
+
+    # Uncompacted oracle.
+    c_off = dataclasses.replace(
+        c, settings=dataclasses.replace(c.settings, compaction="off")
+    )
+    for s in seeds:
+        means_plain.append(float(render(c_off, seed=100 + s).film.mean()))
+
+    # Tiny stage width from bounce 2 on: 16*16*16 = 4096 lanes compact into
+    # 256 slots; most paths are alive at bounce 2, so alive/width ~ 10.
+    n_lanes = 16 * 16 * 16
+    forced = ((n_lanes, 0, 2), (256, 2, c.settings.max_bounces))
+    monkeypatch.setattr(wavefront, "_stage_plan", lambda n, s: forced)
+
+    # Falsifiability guard: ONE eager (unjitted) trace with a spying
+    # _compact proves the alive population actually exceeds the forced
+    # width (concrete arrays reach the spy only outside jit).
+    overflowed = []
+    orig_compact = wavefront._compact
+
+    def spy_compact(state, width, seed, ctr):
+        import jax.numpy as jnp
+
+        overflowed.append(
+            float(jnp.sum(state.alive.astype(jnp.float32))) > width
+        )
+        return orig_compact(state, width, seed, ctr)
+
+    monkeypatch.setattr(wavefront, "_compact", spy_compact)
+    from lumillyrender_tpu.integrator.render import render_chunk_impl
+
+    render_chunk_impl(c.data, c.settings, 100, 0, spp_chunk=16)
+    assert any(overflowed), "test never hit the overflow branch"
+    monkeypatch.setattr(wavefront, "_compact", orig_compact)
+
+    for s in seeds:
+        means_comp.append(float(render(c, seed=100 + s).film.mean()))
+    mp, mc = np.array(means_plain), np.array(means_comp)
+    se = np.sqrt(mp.var() / len(mp) + mc.var() / len(mc))
+    z = abs(mp.mean() - mc.mean()) / se
+    assert z < 4.0, (mp.mean(), mc.mean(), z)
+
+
 def test_compaction_matches_plain():
     """pop-rr staged compaction must reproduce the plain masked loop
     exactly when capacities don't overflow (same RNG streams per lane)."""

@@ -1,0 +1,144 @@
+"""Standalone TPU benchmark: Pallas packet kernel vs XLA walk vs brute.
+
+Builds a synthetic mesh (or loads the bunny-substitute asset), fires
+coherent camera-like rays and incoherent bounce-like rays, and times
+nearest-hit intersection through each backend.
+
+Run ON TPU: python tools/bench_pallas.py [--tris 80000] [--rays 262144]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _force(x):
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=256 * 1024)
+    ap.add_argument("--scene", default="assets/sample.toml")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from lumillyrender_tpu.ops.intersect import (
+        intersect_brute,
+        intersect_bvh,
+    )
+    from lumillyrender_tpu.scene.compiler import compile_scene_file
+
+    scene_path = REPO / args.scene
+    if not scene_path.exists():
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "make_assets.py"),
+             str(REPO / "assets")],
+            check=True,
+        )
+    compiled = compile_scene_file(scene_path, spp=1)
+    geom = compiled.data.geometry
+    bvh = compiled.data.bvh
+    nt = geom.tri_p0.shape[0]
+    k = bvh.blk_p0.shape[1]
+    print(f"tris={nt} spheres={geom.sph_c.shape[0]} "
+          f"blocks={bvh.blk_p0.shape[0]} K={k} nodes={bvh.node_miss.shape[0]}")
+    tables_mb = (bvh.pk_nodes.size + bvh.pk_blk.size + bvh.pk_pm.size) * 4 / 2**20
+    print(f"pallas tables: {tables_mb:.1f} MiB")
+
+    n = args.rays
+    rng = np.random.default_rng(0)
+
+    # Scene AABB for aiming rays.
+    lo = np.asarray(jnp.min(bvh.node_min, axis=0))
+    hi = np.asarray(jnp.max(bvh.node_max, axis=0))
+    c = (lo + hi) / 2
+    ext = float(np.max(hi - lo))
+
+    # Coherent: camera-like grid from one eye point toward jittered targets.
+    eye = c + np.array([0.0, 0.0, 2.5 * ext])
+    tgt = c + (rng.random((n, 3)) - 0.5) * ext
+    d_coh = tgt - eye
+    d_coh /= np.linalg.norm(d_coh, axis=1, keepdims=True)
+    # sort by pixel-ish order: already coherent by construction
+    o_coh = np.broadcast_to(eye, (n, 3)).copy()
+
+    # Incoherent: random origins in the box, random directions.
+    o_inc = c + (rng.random((n, 3)) - 0.5) * 1.2 * ext
+    d_inc = rng.normal(size=(n, 3))
+    d_inc /= np.linalg.norm(d_inc, axis=1, keepdims=True)
+
+    cases = {
+        "coherent": (jnp.asarray(o_coh, jnp.float32), jnp.asarray(d_coh, jnp.float32)),
+        "incoherent": (jnp.asarray(o_inc, jnp.float32), jnp.asarray(d_inc, jnp.float32)),
+    }
+
+    @jax.jit
+    def f_brute(o, d):
+        h = intersect_brute(o, d, geom)
+        return jnp.sum(h.t), jnp.sum(h.prim)
+
+    @jax.jit
+    def f_xla(o, d):
+        h = intersect_bvh(o, d, geom, bvh)
+        return jnp.sum(h.t), jnp.sum(h.prim)
+
+    @jax.jit
+    def f_pallas(o, d):
+        h = intersect_bvh(o, d, geom, bvh, use_pallas=True)
+        return jnp.sum(h.t), jnp.sum(h.prim)
+
+    @jax.jit
+    def f_pallas_shade(o, d):
+        h, sp = intersect_bvh(o, d, geom, bvh, want_shade=True, use_pallas=True)
+        return jnp.sum(h.t), jnp.sum(h.prim)
+
+    backends = [
+        ("pallas", f_pallas),
+        ("pallas+shade", f_pallas_shade),
+        ("xla-walk", f_xla),
+        ("brute", f_brute),
+    ]
+    results = {}
+    for case, (o, d) in cases.items():
+        for name, fn in backends:
+            t_sum, p_sum = fn(o, d)
+            ref = (_force(t_sum), _force(p_sum))
+            t0 = time.monotonic()
+            for _ in range(args.iters):
+                t_sum, p_sum = fn(o, d)
+                _force(t_sum)
+            dt = (time.monotonic() - t0) / args.iters
+            mrps = n / dt / 1e6
+            results[(case, name)] = (mrps, ref)
+            print(f"{case:10s} {name:13s} {mrps:9.2f} M rays/s   "
+                  f"t_sum={ref[0]:.4e} hits_ok", flush=True)
+        # cross-check sums agree between backends
+        base = results[(case, "brute")][1]
+        for name, _ in backends:
+            r = results[(case, name)][1]
+            rel = abs(r[0] - base[0]) / max(abs(base[0]), 1e-9)
+            if rel > 1e-4:
+                print(f"  WARNING {case}/{name}: t_sum differs rel={rel:.2e}")
+
+
+if __name__ == "__main__":
+    main()
