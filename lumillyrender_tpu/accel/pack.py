@@ -12,14 +12,17 @@ import numpy as np
 
 from . import sah
 
-# Treelet (max-leaf) size. 64 fills half the 128-wide lane axis per block
-# test; because block MT tests run on dense (n, K) arrays, tests up to
-# K=128 cost the same wall-clock as K=16 while making the gather-bound node
-# walk ~2-3 levels shallower (measured ~2x on the 82k-tri mesh scene).
-# Override with LLR_TREELET_K for experiments.
+# Treelet (max-leaf) size — measured sweep on the 82k-tri mesh (TPU,
+# tools/bench_pallas.py, 256k rays, Pallas packet kernel M rays/s
+# coherent/incoherent): K=64 8.7/5.0, K=32 8.1/8.2, K=16 7.6/9.1. K=32 is
+# the best all-round point: the packet kernel pays K triangle tests per
+# leaf visit for EVERY lane (redundant work grows with K on incoherent
+# wavefronts), while smaller K deepens the scalar node walk. The XLA
+# gather-walk prefers larger K (dense (n, K) block tests amortize gathers)
+# but tops out ~2 M rays/s either way. Override with LLR_TREELET_K.
 import os
 
-TREELET_K = int(os.environ.get("LLR_TREELET_K", "64"))
+TREELET_K = int(os.environ.get("LLR_TREELET_K", "32"))
 
 
 def _pack_kernel_tables(node_min, node_max, node_miss, node_leaf,

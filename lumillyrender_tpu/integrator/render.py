@@ -67,6 +67,23 @@ _render_chunk = jax.jit(
 )
 
 
+def _render_chunk_acc_impl(scene, settings, seed, sample_offset, film,
+                           spp_chunk: int):
+    part, rays = render_chunk_impl(scene, settings, seed, sample_offset,
+                                   spp_chunk)
+    return film + part, rays
+
+
+# Film accumulator is DONATED: the film sum updates in place on device and
+# the chunk-add rides inside the compiled program (one dispatch per chunk —
+# dispatch costs ~28 ms over the axon tunnel, so the fold matters).
+_render_chunk_acc = jax.jit(
+    _render_chunk_acc_impl,
+    static_argnames=("settings", "spp_chunk"),
+    donate_argnums=(4,),
+)
+
+
 @dataclass
 class RenderResult:
     film: np.ndarray  # (H, W, 3) float32, radiance (pre tone map)
@@ -111,8 +128,7 @@ def render(compiled: CompiledScene, seed: int = 0, spp_chunk: int | None = None,
     while done < settings.spp:
         t_chunk = time.monotonic()
         cur = min(spp_chunk, settings.spp - done)
-        part, rays = _render_chunk(scene, settings, seed, done, cur)
-        film = film + part
+        film, rays = _render_chunk_acc(scene, settings, seed, done, film, cur)
         chunk_rays = float(rays)  # forces completion (axon sync)
         total_rays += chunk_rays
         done += cur

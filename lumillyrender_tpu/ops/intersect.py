@@ -319,26 +319,88 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
     if nt == 0:
         return finish(best_t0, best_p0, sh0)
 
+    # Both triangle backends share one contract: nearest tri strictly
+    # closer than the (detached) sphere pre-pass t, prim = -1 otherwise,
+    # differentiable via the plane-equation custom_vjp at the detached
+    # winner. Where no tri won, the ORIGINAL best_t0 is kept so sphere-lane
+    # gradients still flow.
     if use_pallas:
-        # Packet-traversal Pallas kernel (ops/pallas_bvh.py): the sphere
-        # pre-pass t is the prune threshold; tri winners overwrite it.
+        # Packet-traversal Pallas kernel (ops/pallas_bvh.py).
         from . import pallas_bvh
 
         outs = pallas_bvh.intersect_tris_pallas(
             o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
             interpret=pallas_interpret,
         )
-        t_tri, prim = outs[0], outs[1]
+    else:
+        outs = _walk_tris_xla(o, d, best_t0, geom.tri_n, bvh, want_shade)
+    t_tri, prim = outs[0], outs[1]
+    won = prim >= 0
+    res_t = jnp.where(won, t_tri, best_t0)
+    res_p = jnp.where(won, prim, best_p0)
+    if want_shade:
+        m = jnp.where(won, outs[2], sh0[0])
+        f = tuple(jnp.where(won, outs[3 + c], sh0[1 + c]) for c in range(3))
+        return finish(res_t, res_p, (m, *f))
+    return finish(res_t, res_p, ())
+
+
+def _walk_tris_xla(o, d, t_init, tri_n, bvh: Bvh, want_shade: bool):
+    """XLA-walk triangle intersector with the Pallas kernel's contract:
+    (t, prim[, mat, nx, ny, nz]) with prim = -1 where no triangle beat
+    `t_init` (t == t_init there). Traversal runs on DETACHED inputs (the
+    while_loops are not reverse-differentiable and the winner is a discrete
+    decision anyway); given the winner, dt/d(o,d) is the plane-equation
+    derivative reconstructed in a custom_vjp — identical maths to
+    `pallas_bvh._make_diff_fn`."""
+
+    @jax.custom_vjp
+    def f(o, d, t_init, tri_n):
+        return _walk_raw(
+            jax.lax.stop_gradient(o),
+            jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(t_init),
+        )
+
+    def fwd(o, d, t_init, tri_n):
+        outs = f(o, d, t_init, tri_n)
+        return outs, (d, outs[0], outs[1], tri_n)
+
+    def bwd(res, g):
+        d, t, prim, tri_n = res
+        g_t = g[0]
+        # t = ((p0 - o) . n) / (d . n)  =>  dt/do = -n/(d.n),
+        # dt/dd = -t n/(d.n); zero on miss lanes; prim/mat/normal outputs
+        # are piecewise constant (their cotangents are dropped).
         won = prim >= 0
-        # Where no tri won, keep the ORIGINAL best_t0 (the kernel returns
-        # the detached t_init there; sphere-lane gradients must still flow).
-        res_t = jnp.where(won, t_tri, best_t0)
-        res_p = jnp.where(won, prim, best_p0)
-        if want_shade:
-            m = jnp.where(won, outs[2], sh0[0])
-            f = tuple(jnp.where(won, outs[3 + c], sh0[1 + c]) for c in range(3))
-            return finish(res_t, res_p, (m, *f))
-        return finish(res_t, res_p, ())
+        pid = jnp.maximum(prim, 0)
+        nrm = jnp.take(tri_n, pid, axis=0)
+        dn = jnp.sum(d * nrm, axis=-1)
+        safe = won & (jnp.abs(dn) > 1e-20)
+        inv = jnp.where(safe, 1.0 / jnp.where(safe, dn, 1.0), 0.0)
+        o_bar = (-g_t * inv)[..., None] * nrm
+        d_bar = (-g_t * t * inv)[..., None] * nrm
+        return o_bar, d_bar, jnp.zeros_like(g_t), jnp.zeros_like(tri_n)
+
+    f.defvjp(fwd, bwd)
+
+    def _walk_raw(o, d, t_init):
+        return _walk_tris_impl(o, d, t_init, bvh, want_shade)
+
+    return f(o, d, t_init, tri_n)
+
+
+def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
+    """The raw collect-then-flush cursor walk (non-differentiable)."""
+    n = o.shape[0]
+    inv_d = 1.0 / d
+    best_t0 = t_init
+    best_p0 = jnp.full((n,), -1, jnp.int32)
+    sh0 = (
+        (jnp.full((n,), -1, jnp.int32),) + (jnp.zeros((n,), o.dtype),) * 3
+        if want_shade
+        else ()
+    )
 
     # Packed node row: min(3) max(3) miss leaf — one gather per step. Links
     # are exact as f32 (node/block counts stay far below 2^24).
@@ -523,7 +585,7 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
     res_t = res_t.at[slots].set(best_t)
     res_p = res_p.at[slots].set(best_p)
     res_sh = tuple(r.at[slots].set(v) for r, v in zip(res_sh, sh))
-    return finish(res_t, res_p, res_sh)
+    return (res_t, res_p, *res_sh)
 
 
 def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8):

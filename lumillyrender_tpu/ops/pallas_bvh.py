@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EPS, INF
 
-SUB = 8
+SUB = int(os.environ.get("LLR_PALLAS_SUB", "8"))  # sublanes per packet
 LANE = 128
 PACKET = SUB * LANE
 

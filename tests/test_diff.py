@@ -273,6 +273,28 @@ def test_ibl_texel_grad_matches_fd():
     assert abs(g_ad - g_fd) < 1e-5 + 0.01 * abs(g_fd), (g_ad, g_fd)
 
 
+def test_welcome_geo_config5_grad_matches_fd(assets_dir):
+    """BASELINE config 5 end-to-end: the full welcome-geo scene (82k-tri
+    bunny + cbox objs, SAH-BVH, IBL sky, thin-lens camera, NEE) must produce
+    material gradients that match finite differences. Material row 0 is
+    "mat" (the bunny/cbox Lambert — first object's material)."""
+    import dataclasses as dc
+
+    from lumillyrender_tpu.scene.compiler import compile_scene_file
+
+    c = compile_scene_file(assets_dir / "welcome-geo.toml", spp=2)
+    c.settings = dc.replace(
+        c.settings, width=12, height=9, max_bounces=2
+    )
+    g_ad, g_fd = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.materials.color[0, 0],
+        set_leaf=lambda p, v: _set_mat(p, "color", (0, 0), v),
+        eps=2e-2, atol=1e-2, rtol=0.08,
+    )
+    assert g_ad > 0
+
+
 def test_inverse_rendering_converges():
     """End-to-end: recover a perturbed albedo by gradient descent against a
     rendered target."""

@@ -199,6 +199,98 @@ def test_sharded_matches_single_device():
     assert np.abs(r1.film - r8.film).max() < 1e-4
 
 
+def _films(c, seeds):
+    return np.stack([render(c, seed=s).film for s in seeds])
+
+
+def _zmap(fa, fb):
+    """Per-pixel Welch z-statistic between two stacks of i.i.d. films
+    (seeds axis 0), on channel-mean luminance. Returns (z, testable):
+    a pixel is untestable when one side shows ZERO sample variance while
+    the sides disagree — a rare-event pixel this estimator pair cannot
+    compare (e.g. grazing geometry where pure pt never hits the tiny lamp
+    in any sample but NEE samples it directly; both remain unbiased)."""
+    a, b = fa.mean(axis=3), fb.mean(axis=3)
+    ma, mb = a.mean(axis=0), b.mean(axis=0)
+    va = a.var(axis=0, ddof=1) / a.shape[0]
+    vb = b.var(axis=0, ddof=1) / b.shape[0]
+    z = (ma - mb) / np.sqrt(va + vb + 1e-12)
+    degenerate = ((va == 0) | (vb == 0)) & (ma != mb)
+    return z, ~degenerate
+
+
+def test_pt_vs_nee_perpixel_ztest():
+    """Principled per-pixel gate (SURVEY §7 hard-part 4): pt and pt-direct
+    estimate the same integral, so the per-pixel Welch z between 16-seed
+    stacks must look like noise — no pixel exceeds |z| = 5 beyond the null
+    rate. A localized bias (e.g. a sign-flipped NEE G-term in a few % of
+    pixels) concentrates large |z| there and fails; the quadrant-mean check
+    in test_pt_vs_nee_agree would miss it.
+
+    The scene is the NEE scene with an ENLARGED lamp at 16x16: pure pt's
+    per-pixel variance is dominated by the probability of cosine-sampled
+    bounces hitting the lamp, so the z-test only has power when that solid
+    angle is large and spp is high (empirically tuned: per-pixel rel. SE
+    ~5%, giving a +50%-bias bug z of ~10).
+
+    Falsifiability is demonstrated in-test: a +50% bias injected into ~5% of
+    lit pixels makes the same gate fail.
+    """
+    big = (
+        NEE_SCENE.replace(
+            """[[mesh]]
+name = "ball"
+type = "sphere"
+radius = 0.6""",
+            """[[mesh]]
+name = "ball"
+type = "sphere"
+radius = 0.6
+
+[[mesh]]
+name = "bigball"
+type = "sphere"
+radius = 1.6""",
+        )
+        .replace(
+            """name = "lamp"
+mesh = "ball\"""",
+            """name = "lamp"
+mesh = "bigball\"""",
+        )
+        .replace("resolution = [32, 32]", "resolution = [16, 16]")
+    )
+
+    def sc(integ, spp):
+        return compile_scene(
+            parse_config(
+                big.replace("SPP", str(spp)).replace("INTEGRATOR", integ)
+            )
+        )
+
+    fa = _films(sc("pt", 768), range(300, 316))
+    fb = _films(sc("pt-direct", 256), range(400, 416))
+
+    z, ok = _zmap(fa, fb)
+    # Rare-event pixels (zero observed variance on one side) are untestable
+    # by construction; with the big lamp there should be none.
+    assert (~ok).mean() < 0.02, (~ok).mean()
+    frac_bad = float((np.abs(z[ok]) > 5.0).mean())
+    assert frac_bad < 0.008, frac_bad  # measured null: 0
+
+    # Deliberate ~5%-of-pixels bug on lit pixels: the gate must catch it.
+    lum = fb.mean(axis=(0, 3))
+    lit = lum > np.median(lum[lum > 0])
+    rng = np.random.default_rng(0)
+    mask = (rng.random(lum.shape) < 0.1) & lit
+    assert 4 <= mask.sum() <= 0.1 * lum.size
+    fb_bug = fb.copy()
+    fb_bug[:, mask] *= 1.5
+    z_bug, ok_bug = _zmap(fa, fb_bug)
+    frac_bug = float((np.abs(z_bug[ok_bug]) > 5.0).mean())
+    assert frac_bug > 0.008, frac_bug  # measured: 0.0195
+
+
 def test_no_direct_emitter_flag():
     """no-direct-emitter zeroes emission only at depth 0 (quirk #5): the
     lamp pixels go dark but indirect lighting stays."""

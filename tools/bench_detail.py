@@ -104,6 +104,9 @@ def main() -> None:
     bench_fwd("debug_nee_fwd_256", "debug-nee.toml", 256, 256, 32)
     bench_fwd("brdf_ggx_fwd", "brdf.toml", 480, 270, 16)
     bench_fwd("bunny_bvh_fwd_256", "sample.toml", 256, 256, 8)
+    # BASELINE config 5: IBL sky + obj meshes at BVH scale + thin lens +
+    # NEE, hdr output (assets/welcome-geo.toml).
+    bench_fwd("welcome_geo_fwd", "welcome-geo.toml", 256, 184, 8)
     bench_fwd_bwd("new_cbox_fwdbwd_128", "new-cbox.toml", 128, 128, 4)
 
     out = REPO / "BENCH_DETAIL.json"

