@@ -103,8 +103,7 @@ def render_diff(
         sample_idx = sample_offsets[(lane // (w * h)).astype(jnp.int32)]
         lane = lane % jnp.uint32(w * h) + sample_idx.astype(jnp.uint32) * jnp.uint32(w * h)
 
-    u, v = rng.uniform2(seed, lane, 0x40000000)
-    u2, v2 = rng.uniform2(seed, lane, 0x40000001)
+    u, v, u2, v2 = rng.uniform4(seed, lane, 0x40000000)
     o, d, pdf, g = camera_ops.sample_rays(
         params.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )

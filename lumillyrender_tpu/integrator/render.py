@@ -39,9 +39,8 @@ def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
     px = (lane % w).astype(jnp.int32)
     py = ((lane // w) % h).astype(jnp.int32)
 
-    # High counters so they never collide with bounce-loop slots.
-    u, v = rng.uniform2(seed, glane, 0x40000000)
-    u2, v2 = rng.uniform2(seed, glane, 0x40000001)
+    # High counter so it never collides with bounce-loop slots.
+    u, v, u2, v2 = rng.uniform4(seed, glane, 0x40000000)
     o, d, pdf, g = camera_ops.sample_rays(
         scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )

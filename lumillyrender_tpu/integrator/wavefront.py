@@ -28,13 +28,13 @@ from ..ops import bsdf, rng, sky as sky_ops, table, vec
 from ..ops.intersect import intersect, intersect_shade, shade_point
 from ..scene.data import RenderSettings, SceneData
 
-# RNG purpose slots per bounce (ctr = bounce * _SLOTS + slot).
+# RNG purpose slots per bounce (ctr = bounce * _SLOTS + slot). One pcg4d
+# evaluation serves four draws, so the bounce step needs exactly TWO mixer
+# calls: _SCATTER -> (rr, lobe phi, lobe radius, refraction roulette) and
+# _NEE -> (light pick, point-on-light u, v).
 _SLOTS = 8
-_RR = 0
-_BSDF_AB = 1  # two uniforms: lobe phi / radius
-_BSDF_C = 2  # refraction roulette
-_NEE_PICK = 3  # light pick
-_NEE_UV = 4  # two uniforms: point-on-light
+_SCATTER = 0
+_NEE = 1
 
 
 class PathState(NamedTuple):
@@ -111,8 +111,7 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     BRDF evaluation; gathers for sampling decisions already happened in
     `mats_gathered`.
     """
-    u_pick, _ = rng.uniform2(seed, lane, bounce_ctr + _NEE_PICK)
-    u1, u2 = rng.uniform2(seed, lane, bounce_ctr + _NEE_UV)
+    u_pick, u1, u2, _ = rng.uniform4(seed, lane, bounce_ctr + _NEE)
     light_point, pdf = _sample_light_point(scene, u_pick, u1, u2)
 
     path = light_point - sp.position
@@ -194,9 +193,11 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
             emit_mask[..., None], state.throughput * m_eval.emission, 0.0
         )
 
+        # One mixer call covers RR + all three BSDF-sampling draws.
+        u_rr, r1, r2, r3 = rng.uniform4(seed, lane, ctr + _SCATTER)
+
         # Russian roulette (`scene.rs:180-183`).
         prob = _russian_roulette(bsdf.rr_weight(m_sample), bounce, settings)
-        u_rr = rng.uniform(seed, lane, ctr + _RR)
         cont = (prob == 1.0) | (u_rr < prob)
         alive = alive & cont
         throughput = state.throughput / jnp.maximum(prob, 1e-12)[..., None]
@@ -210,8 +211,6 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
             rays = rays + jnp.sum(alive.astype(jnp.float32))  # shadow rays
 
         # BSDF sampling + throughput update (`scene.rs:78-102`).
-        r1, r2 = rng.uniform2(seed, lane, ctr + _BSDF_AB)
-        r3 = rng.uniform(seed, lane, ctr + _BSDF_C)
         s = bsdf.sample(m_sample, out_dir, sp.normal, r1, r2, r3)
         f = bsdf.eval_brdf(m_eval, out_dir, s.direction, sp.normal, sp.position)
         cf = bsdf.coef(m_eval, out_dir, sp.normal, hit.t)

@@ -93,8 +93,7 @@ def _chunk_body(scene: SceneData, settings: RenderSettings, seed, offsets):
     sample_idx = offsets[(lane // (w * h)).astype(jnp.int32)]
     glane = lane % jnp.uint32(w * h) + sample_idx.astype(jnp.uint32) * jnp.uint32(w * h)
 
-    u, v = rng.uniform2(seed, glane, 0x40000000)
-    u2, v2 = rng.uniform2(seed, glane, 0x40000001)
+    u, v, u2, v2 = rng.uniform4(seed, glane, 0x40000000)
     o, d, pdf, g = camera_ops.sample_rays(
         scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )

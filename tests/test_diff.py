@@ -119,8 +119,15 @@ def fd_vs_ad(c, get_leaf, set_leaf, eps, atol, rtol):
     def with_delta(d):
         return set_leaf(params0, float(get_leaf(params0)) + d)
 
-    # float32 FD needs a generous step; we use central differences.
-    g_fd = (float(f(with_delta(eps))) - float(f(with_delta(-eps)))) / (2 * eps)
+    # float32 FD needs a generous step; we use central differences. A single
+    # step size can land a lane exactly on a discrete boundary (intersection
+    # EPS cutoff, lobe pick) and return garbage — the estimator is piecewise
+    # smooth, not smooth — so take the MEDIAN over three step sizes; an
+    # isolated boundary crossing contaminates one of them, not two.
+    def central(e):
+        return (float(f(with_delta(e))) - float(f(with_delta(-e)))) / (2 * e)
+
+    g_fd = float(np.median([central(eps / 2), central(eps), central(2 * eps)]))
     assert np.isfinite(g_ad) and np.isfinite(g_fd)
     assert abs(g_ad - g_fd) < atol + rtol * abs(g_fd), (g_ad, g_fd)
     return g_ad, g_fd

@@ -1,4 +1,4 @@
-"""Self-golden regression gate: the five BASELINE.json configs rendered at a
+"""Self-golden regression gate: the BASELINE.json configs rendered at a
 fixed seed must reproduce the committed films (tests/goldens/*.npz).
 
 Catches round-over-round estimator regressions that the statistical gates
@@ -28,6 +28,7 @@ CONFIGS = [
     ("brdf.toml", 64, 24, 8),
     ("new-cbox.toml", 48, 48, 8),
     ("ibl-material.toml", 48, 36, 8),
+    ("welcome-geo.toml", 32, 24, 4),  # config 5: 82k-tri BVH + IBL + thin lens
 ]
 SEED = 1234
 

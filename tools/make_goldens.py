@@ -1,6 +1,6 @@
 """Generate self-golden films for round-over-round regression testing.
 
-Renders the five BASELINE.json configs at a small fixed resolution / spp /
+Renders the BASELINE.json configs at a small fixed resolution / spp /
 seed on the CPU backend (the exact environment tests/test_goldens.py uses)
 and stores them as float32 .npz under tests/goldens/. Commit the result.
 
@@ -36,6 +36,7 @@ CONFIGS = [
     ("brdf.toml", 64, 24, 8),
     ("new-cbox.toml", 48, 48, 8),
     ("ibl-material.toml", 48, 36, 8),
+    ("welcome-geo.toml", 32, 24, 4),  # config 5: 82k-tri BVH + IBL + thin lens
 ]
 SEED = 1234
 

@@ -39,6 +39,7 @@ OPS_SLAB = 30  # AABB slab test + descend logic per node
 OPS_BSDF = 260  # measured static count of the 5-branch masked eval+sample
 OPS_NEE_LOCAL = 120  # light pick + geometry term + contribution (excl. shadow ray)
 OPS_RNG2 = 60  # one threefry uniform2 (2x32-bit draws)
+OPS_RNG4 = 36  # one pcg4d uniform4 (4x32-bit draws + float converts)
 
 
 def _force(x):
@@ -205,13 +206,13 @@ def main():
     def rng_body(carry):
         acc, i = carry
         s = acc
-        for kk in range(5):
-            a, b = rng.uniform2(7, lane, kk)
-            s = s + a + b
+        for kk in range(2):
+            a, b, cc, dd = rng.uniform4(7, lane, kk)
+            s = s + a + b + cc + dd
         return (s, i + 1)
 
     dt = timeit_scan(rng_body, (jnp.zeros(N), jnp.int32(0)))
-    add("rng (5x threefry2x32)", dt, 5 * OPS_RNG2, 4, "per-bounce budget")
+    add("rng (2x pcg4d)", dt, 2 * OPS_RNG4, 4, "per-bounce budget")
 
     step = make_bounce_step(scene, c.settings, 0)
     st = PathState(

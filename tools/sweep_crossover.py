@@ -6,6 +6,14 @@ bounce/shadow rays) and times nearest-hit through brute and through the
 accelerated path `auto` would pick on this backend (Pallas packet kernel on
 TPU, XLA walk on CPU).
 
+Two geometry modes (--shape):
+  surface (default): a displaced UV-sphere — a structured surface like real
+      scene meshes, where BVH pruning works. This sets the threshold.
+  soup: i.i.d. gaussian triangles, all overlapping the origin — an
+      adversarial lower bound where NO spatial structure exists and the BVH
+      can prune almost nothing (brute wins at every size; kept to document
+      the bound, not to set the threshold).
+
 Run ON TPU: python tools/sweep_crossover.py [--rays 262144]
 """
 
@@ -29,6 +37,7 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="*",
                     default=[128, 256, 512, 1024, 2048, 8192])
     ap.add_argument("--json", default=None)
+    ap.add_argument("--shape", choices=["surface", "soup"], default="surface")
     args = ap.parse_args()
 
     import jax
@@ -53,11 +62,36 @@ def main():
     o, d = jnp.asarray(o_np), jnp.asarray(d_np)
     on_tpu = pallas_bvh.on_tpu()
 
+    def surface_tris(t):
+        """Displaced UV-sphere with ~t triangles (structured surface)."""
+        nu = max(2, int(np.ceil(np.sqrt(t / 4))))
+        nv = max(3, int(np.ceil(t / (2 * nu))))
+        th = np.linspace(0, np.pi, nu + 1)
+        ph = np.linspace(0, 2 * np.pi, nv + 1)
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        r = 1.0 + 0.25 * np.sin(3 * T) * np.cos(5 * P)
+        x = r * np.sin(T) * np.cos(P)
+        y = r * np.sin(T) * np.sin(P)
+        z = r * np.cos(T)
+        V = np.stack([x, y, z], axis=-1).astype(np.float32)  # (nu+1, nv+1, 3)
+        a = V[:-1, :-1].reshape(-1, 3)
+        b = V[1:, :-1].reshape(-1, 3)
+        c = V[1:, 1:].reshape(-1, 3)
+        d_ = V[:-1, 1:].reshape(-1, 3)
+        p0 = np.concatenate([a, a], 0)
+        p1 = np.concatenate([b, c], 0)
+        p2 = np.concatenate([c, d_], 0)
+        return p0, (p1 - p0), (p2 - p0)
+
     results = {}
     for t in args.sizes:
-        p0 = (rng.normal(size=(t, 3)) * 1.2).astype(np.float32)
-        e1 = (rng.normal(size=(t, 3)) * 0.3).astype(np.float32)
-        e2 = (rng.normal(size=(t, 3)) * 0.3).astype(np.float32)
+        if args.shape == "surface":
+            p0, e1, e2 = surface_tris(t)
+            t = p0.shape[0]
+        else:
+            p0 = (rng.normal(size=(t, 3)) * 1.2).astype(np.float32)
+            e1 = (rng.normal(size=(t, 3)) * 0.3).astype(np.float32)
+            e2 = (rng.normal(size=(t, 3)) * 0.3).astype(np.float32)
         nrm = np.cross(e1, e2)
         nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
         geom = Geometry(
@@ -109,7 +143,7 @@ def main():
     if args.json:
         Path(args.json).write_text(
             json.dumps({"rays": N, "backend": jax.default_backend(),
-                        "results": results}, indent=2)
+                        "shape": args.shape, "results": results}, indent=2)
         )
 
 
