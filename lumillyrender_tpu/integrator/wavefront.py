@@ -252,8 +252,16 @@ def trace(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
     step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval)
 
     if differentiable:
+        # Rematerialize each bounce in the backward pass: reverse-mode over
+        # the raw scan saves every intersection temp of every bounce (tens
+        # of GB at real wavefronts — OOMs a 16 GB chip at 256^2 x 4 spp);
+        # with jax.checkpoint only the (small) PathState carry is saved per
+        # bounce and the bounce is recomputed when its cotangent arrives.
+        # Classic compute-for-HBM trade; the recompute is one extra forward.
+        ck_step = jax.checkpoint(step)
+
         def scan_step(s, _):
-            return step(s), None
+            return ck_step(s), None
 
         state, _ = jax.lax.scan(scan_step, state, None, length=settings.max_bounces)
     else:
