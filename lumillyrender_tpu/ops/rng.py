@@ -30,7 +30,11 @@ _MIXER = os.environ.get("LLR_RNG", "pcg4d")
 
 _ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 
-_U24 = jnp.float32(1.0 / (1 << 24))
+# Plain Python float, NOT jnp.float32: a module-scope jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize() in multi-host processes (it must run before
+# any JAX computation). Weak typing keeps the product float32.
+_U24 = 1.0 / (1 << 24)
 
 
 def _rotl(x, r):
@@ -97,16 +101,19 @@ def uniform4(seed, lane, ctr):
     """Four independent U[0,1) float32 per lane from ONE mixer evaluation.
 
     seed: python int or scalar; lane: uint32 array of lane ids; ctr: python
-    int counter (bounce*K + purpose) — static per call site.
+    int OR traced int32/uint32 scalar counter (bounce*K + purpose) — the
+    bounce loop passes a traced value, so it is normalized to uint32 once
+    here (a raw `ctr ^ 0x80000000` on a traced int32 would overflow).
     """
     s = _seed_u32(seed)
     lane = jnp.asarray(lane, jnp.uint32)
+    c = jnp.asarray(ctr, jnp.uint32)
     if _MIXER == "threefry":
         s2 = s ^ jnp.uint32(0x9E3779B9)
-        x0, x1 = threefry2x32(s, s2, lane, jnp.uint32(ctr))
-        x2, x3 = threefry2x32(s, s2, lane, jnp.uint32(ctr ^ 0x80000000))
+        x0, x1 = threefry2x32(s, s2, lane, c)
+        x2, x3 = threefry2x32(s, s2, lane, c ^ jnp.uint32(0x80000000))
     else:
-        x0, x1, x2, x3 = pcg4d(lane, jnp.uint32(ctr), s, jnp.uint32(0xB5297A4D))
+        x0, x1, x2, x3 = pcg4d(lane, c, s, jnp.uint32(0xB5297A4D))
     return _to_f32(x0), _to_f32(x1), _to_f32(x2), _to_f32(x3)
 
 
@@ -116,7 +123,7 @@ def uniform2(seed, lane, ctr):
         s = _seed_u32(seed)
         s2 = s ^ jnp.uint32(0x9E3779B9)
         x0, x1 = threefry2x32(s, s2, jnp.asarray(lane, jnp.uint32),
-                              jnp.uint32(ctr))
+                              jnp.asarray(ctr, jnp.uint32))
         return _to_f32(x0), _to_f32(x1)
     f0, f1, _, _ = uniform4(seed, lane, ctr)
     return f0, f1

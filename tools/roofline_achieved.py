@@ -212,7 +212,13 @@ def main():
         return (s, i + 1)
 
     dt = timeit_scan(rng_body, (jnp.zeros(N), jnp.int32(0)))
-    add("rng (2x pcg4d)", dt, 2 * OPS_RNG4, 4, "per-bounce budget")
+    # Label/op-count follow the active mixer: uniform4 under threefry costs
+    # two threefry2x32 blocks per call (LLR_RNG dispatch in ops/rng.py).
+    if rng._MIXER == "pcg4d":
+        rng_label, rng_ops = "rng (2x pcg4d)", 2 * OPS_RNG4
+    else:
+        rng_label, rng_ops = "rng (4x threefry2x32)", 4 * OPS_RNG2
+    add(rng_label, dt, rng_ops, 4, "per-bounce budget")
 
     step = make_bounce_step(scene, c.settings, 0)
     st = PathState(
