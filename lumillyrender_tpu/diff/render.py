@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..integrator.wavefront import trace
+from ..integrator.wavefront import trace_film
 from ..ops import camera as camera_ops
 from ..ops import rng
 from ..scene.data import (
@@ -107,18 +107,24 @@ def render_diff(
     o, d, pdf, g = camera_ops.sample_rays(
         params.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )
-    radiance, rays = trace(
+    # Same staged-compaction wavefront as the forward renderer, in its
+    # differentiable (checkpointed fixed-scan) mode: the backward pass runs
+    # at the compacted widths too, and bounces past all-lanes-dead are
+    # skipped by lax.cond in both directions.
+    weight = g * params.camera.sensor_sensitivity / pdf
+    film_flat, rays = trace_film(
         scene_s,
         settings,
         o,
         d,
         lane,
         seed,
+        weight,
+        n_pixels=w * h,
         differentiable=True,
         mats_eval=params.materials,
     )
-    weight = (g * params.camera.sensor_sensitivity / pdf)[..., None]
-    film = jnp.mean((radiance * weight).reshape(spp, h, w, 3), axis=0)
+    film = film_flat.reshape(h, w, 3) / jnp.float32(spp)
     if with_rays:
         return film, rays + jnp.float32(n)  # + camera rays
     return film

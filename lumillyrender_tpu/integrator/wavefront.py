@@ -318,34 +318,76 @@ def _stage_plan(n: int, settings: RenderSettings):
 
 
 def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
-    """Shrink the wavefront to `width` slots, keeping a uniformly random
-    subset of the live lanes when they overflow capacity and reweighting
-    survivors by alive/width (population-control Russian roulette —
-    exactly unbiased; weight 1 when everything fits)."""
-    # Random permutation among alive lanes: sort by (dead, hash).
-    u = rng.uniform(seed, state.lane, ctr)
-    key = jnp.where(state.alive, u, 2.0)  # dead lanes sort last
-    order = jnp.argsort(key)[:width]
+    """Shrink the wavefront to `width` slots.
 
-    a = jnp.sum(state.alive.astype(jnp.float32))
-    scale = jnp.maximum(a / jnp.float32(width), 1.0)
+    When the live population fits (a <= width): prefix-sum scatter keeps
+    every live lane (exact, weight 1). On overflow: SYSTEMATIC resampling —
+    exactly `width` of the `a` live lanes are kept via a jittered-grid rank
+    pick (one scalar uniform u; ranks ceil((j+u)*a/width), j=0..width-1),
+    each live lane kept with marginal probability width/a, and survivors
+    reweighted by a/width — population-control Russian roulette, unbiased.
 
-    take = lambda arr: jnp.take(arr, order, axis=0)
-    alive = take(state.alive)
+    This replaces the previous argsort-based random-subset selection: a full
+    sort of the wavefront keys costs orders of magnitude more than the two
+    cumsums + scatter/gather used here (XLA sort at 2M lanes dominated the
+    stage-boundary cost on TPU), and systematic resampling additionally
+    stratifies the survivors across the (pixel-ordered) lane axis.
+    """
+    n = state.alive.shape[0]
+    # Exact integer ranks: s[i] = number of live lanes in [0..i] (<= 2^24,
+    # exact in int32); live lanes carry distinct ranks 1..a.
+    s = jnp.cumsum(state.alive.astype(jnp.int32))
+    a = s[-1]
+    af = a.astype(jnp.float32)
+
+    arrs = (state.o, state.d, state.throughput, state.lane,
+            state.alive.astype(jnp.int32))
+
+    def keep_all(_):
+        # dest = rank-1 for live lanes; dead lanes dropped (index width).
+        dest = jnp.where(state.alive, s - 1, width)
+
+        def scat(arr):
+            out_shape = (width,) + arr.shape[1:]
+            return jnp.zeros(out_shape, arr.dtype).at[dest].set(
+                arr, mode="drop"
+            )
+
+        return tuple(scat(x) for x in arrs) + (jnp.float32(1.0),)
+
+    def resample(_):
+        # rank -> source-index lookup (scatter), then gather the width
+        # jittered-grid ranks. Slot 0 absorbs dead lanes' writes (unused:
+        # live ranks start at 1).
+        rank_pos = jnp.zeros((n + 1,), jnp.int32).at[
+            jnp.where(state.alive, s, 0)
+        ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        u = rng.uniform(seed, jnp.uint32(0x5EED5EED), ctr)
+        g = (jnp.arange(width, dtype=jnp.float32) + u) * (af / width)
+        r = jnp.clip(jnp.ceil(g).astype(jnp.int32), 1, a)
+        src = rank_pos[r]
+        return tuple(jnp.take(x, src, axis=0) for x in arrs) + (
+            af / jnp.float32(width),
+        )
+
+    o, d, thr, lane, alive_i, scale = jax.lax.cond(
+        a > width, resample, keep_all, operand=None
+    )
     return PathState(
         bounce=state.bounce,
-        o=take(state.o),
-        d=take(state.d),
-        throughput=take(state.throughput) * scale,
+        o=o,
+        d=d,
+        throughput=thr * scale,
         accum=jnp.zeros((width, 3), state.accum.dtype),
-        alive=alive,
+        alive=alive_i > 0,
         rays_traced=state.rays_traced,
-        lane=take(state.lane),
+        lane=lane,
     )
 
 
 def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
-               weight0, n_pixels: int):
+               weight0, n_pixels: int, differentiable: bool = False,
+               mats_eval=None, lanes_ordered: bool = True):
     """Trace a wavefront and accumulate directly into a flat pixel buffer.
 
     `weight0` (N,) is the camera estimator weight (g * sensitivity / pdf),
@@ -353,9 +395,23 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
     be materialized. Returns (film_flat (n_pixels, 3) SUM over lanes, rays).
 
     With settings.compaction == "pop-rr" the wavefront shrinks at staged
-    bounce depths: contributions are banked into the film by scatter-add at
-    every stage boundary, live lanes are compacted via a random permutation,
-    and capacity overflow applies population-control RR (unbiased).
+    bounce depths: contributions are banked into the film at every stage
+    boundary, live lanes are compacted (prefix scatter; systematic-
+    resampling population control on overflow — unbiased), and the next
+    stage runs at the smaller width.
+
+    `differentiable=True` (the inverse-rendering path) swaps each stage's
+    early-exit `while_loop` for a fixed-length `lax.scan` whose per-bounce
+    body is `jax.checkpoint`-ed (constant memory in depth) and wrapped in a
+    `lax.cond` that skips the whole bounce — forward AND backward — once
+    every lane is dead. Compaction applies identically: the backward pass
+    then also runs at the shrunken widths, which is what closes most of the
+    fwd-vs-fwd+bwd throughput gap (a full-width 80-bounce scan did ~6x the
+    useful work).
+
+    `lanes_ordered` declares that lane ids arrived in arange order (true
+    for both render drivers), letting the FIRST bank be a reshape-sum
+    reduction instead of a wavefront-sized scatter-add.
     """
     n = o.shape[0]
     lane = jnp.asarray(lane, jnp.uint32)
@@ -369,29 +425,41 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
         rays_traced=jnp.float32(0.0),
         lane=lane,
     )
-    step = make_bounce_step(scene, settings, seed)
+    step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval)
     film = jnp.zeros((n_pixels, 3), o.dtype)
 
-    def bank(film, st: PathState):
+    def bank(film, st: PathState, ordered: bool = False):
+        if ordered and st.accum.shape[0] % n_pixels == 0:
+            return film + st.accum.reshape(-1, n_pixels, 3).sum(axis=0)
         pix = (st.lane % jnp.uint32(n_pixels)).astype(jnp.int32)
         return film.at[pix].add(st.accum)
 
-    if settings.compaction != "pop-rr":
-        state = jax.lax.while_loop(
-            lambda s: jnp.any(s.alive) & (s.bounce < settings.max_bounces),
-            step,
-            state,
-        )
-        return bank(film, state), state.rays_traced
+    def run_stage(state, b1: int, n_steps: int):
+        if differentiable:
+            def scan_step(s, _):
+                s2 = jax.lax.cond(
+                    jnp.any(s.alive) & (s.bounce < b1), step, lambda x: x, s
+                )
+                return s2, None
 
+            state, _ = jax.lax.scan(
+                jax.checkpoint(scan_step), state, None, length=n_steps
+            )
+            return state
+        return jax.lax.while_loop(
+            lambda s: jnp.any(s.alive) & (s.bounce < b1), step, state
+        )
+
+    if settings.compaction != "pop-rr":
+        state = run_stage(state, settings.max_bounces, settings.max_bounces)
+        return bank(film, state, ordered=lanes_ordered), state.rays_traced
+
+    first = True
     for si, (width, b0, b1) in enumerate(_stage_plan(n, settings)):
         if width != state.alive.shape[0]:
-            film = bank(film, state)
+            film = bank(film, state, ordered=lanes_ordered and first)
+            first = False
             state = _compact(state, width, seed, 0x50000000 + si)
-        state = jax.lax.while_loop(
-            lambda s: jnp.any(s.alive) & (s.bounce < b1),
-            step,
-            state,
-        )
-    film = bank(film, state)
+        state = run_stage(state, b1, b1 - b0)
+    film = bank(film, state, ordered=lanes_ordered and first)
     return film, state.rays_traced
