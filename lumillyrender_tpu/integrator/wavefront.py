@@ -126,8 +126,15 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     not_emitter = vec.sqr_norm(mats_gathered.emission) <= 0.0
     ok = ok & not_emitter
 
+    # Capped shadow query: anything at t >= dist + 2*EPS can't change the
+    # visibility verdict (`scene.rs:127-131` needs |t - dist| <= EPS), so
+    # the traversal prunes every subtree beyond the light. The cap carries
+    # one extra EPS of slack because `t < dist + EPS` under f32 rounding is
+    # NOT equivalent to `t - dist <= EPS` — a tight cap dropped boundary
+    # hits that the reference's comparison accepts.
     shadow, shadow_sp = intersect_shade(
-        sp.position, wi, scene.geometry, scene.bvh, settings.intersector
+        sp.position, wi, scene.geometry, scene.bvh, settings.intersector,
+        t_cap=dist + 2.0 * EPS,
     )
     visible = shadow_sp.hit & (jnp.abs(shadow.t - dist) <= EPS)
     ok = ok & visible

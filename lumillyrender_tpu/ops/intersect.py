@@ -258,7 +258,8 @@ _WALK_S = 16  # node-walk steps per outer iteration
 
 
 def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
-                  use_pallas: bool = False, pallas_interpret: bool = False):
+                  use_pallas: bool = False, pallas_interpret: bool = False,
+                  t_cap=None):
     """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
 
     TPU gathers run far below streaming bandwidth, so the inner walk touches
@@ -281,7 +282,11 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
     nt = geom.tri_p0.shape[0]
     inv_d = 1.0 / d  # IEEE inf on zero components, like the reference slab test
 
-    best_t0 = jnp.full((n,), INF, o.dtype)
+    # A per-lane `t_cap` (shadow rays: light distance + EPS) initializes the
+    # running best so traversal prunes every subtree beyond it — identical
+    # results for any hit closer than the cap, miss reported otherwise.
+    cap = jnp.full((n,), INF, o.dtype) if t_cap is None else t_cap
+    best_t0 = cap
     best_p0 = jnp.full((n,), -1, jnp.int32)
     if want_shade:
         sh0 = (
@@ -297,7 +302,7 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
         sh0 = ()
 
     def finish(res_t, res_p, sh):
-        hitmask = res_t < INF
+        hitmask = res_p >= 0
         hit = Hit(t=res_t, prim=jnp.where(hitmask, res_p, -1))
         if not want_shade:
             return hit
@@ -588,7 +593,7 @@ def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
     return (res_t, res_p, *res_sh)
 
 
-def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8):
+def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8, t_cap=None):
     """Fused nearest-hit + shade attributes in one chunk scan. o,d: (N,3).
 
     Same streaming layout as `intersect_brute`, but the fold also carries
@@ -605,7 +610,7 @@ def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8):
     oT = tuple(o[:, i] for i in range(3))
     dT = tuple(d[:, i] for i in range(3))
 
-    best_t = jnp.full((n,), INF, o.dtype)
+    best_t = jnp.full((n,), INF, o.dtype) if t_cap is None else t_cap
     best_p = jnp.full((n,), -1, jnp.int32)
     best_m = jnp.full((n,), -1, jnp.int32)
     # Tri lanes: face normal; sphere lanes: center (normal derived after).
@@ -676,8 +681,7 @@ def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8):
         )
 
     best_t, best_p, best_m, best_f = carry
-    hitmask = best_t < INF
-    best_p = jnp.where(hitmask, best_p, -1)
+    hitmask = best_p >= 0
     hit = Hit(t=best_t, prim=best_p)
 
     pos = o + d * best_t[..., None]
@@ -738,20 +742,27 @@ def intersect(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto") -> Hit:
     return intersect_bvh(o, d, geom, bvh)
 
 
-def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto"):
+def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto",
+                    t_cap=None):
     """(Hit, ShadePoint) fused — hit attributes are selected inside the
-    intersection fold/flush, never gathered from prim tables afterwards."""
+    intersection fold/flush, never gathered from prim tables afterwards.
+
+    `t_cap` (N,) caps the nearest-hit search: hits at t >= t_cap are
+    reported as misses. Shadow rays pass light_distance + EPS so the BVH
+    traversal prunes every subtree beyond the light (`scene.rs:127-131`
+    only needs |t - dist| <= EPS) — identical results, far less work.
+    """
     backend = _resolve(geom, bvh, mode)
     if backend == "brute":
-        return intersect_shade_brute(o, d, geom)
+        return intersect_shade_brute(o, d, geom, t_cap=t_cap)
     if backend == "pallas":
         from . import pallas_bvh
 
         return intersect_bvh(
             o, d, geom, bvh, want_shade=True, use_pallas=True,
-            pallas_interpret=not pallas_bvh.on_tpu(),
+            pallas_interpret=not pallas_bvh.on_tpu(), t_cap=t_cap,
         )
-    return intersect_bvh(o, d, geom, bvh, want_shade=True)
+    return intersect_bvh(o, d, geom, bvh, want_shade=True, t_cap=t_cap)
 
 
 def shade_point(o, d, hit: Hit, geom: Geometry) -> ShadePoint:
