@@ -31,7 +31,12 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default=None, help="Output file (default images/...)")
     parser.add_argument("--spp-chunk", type=int, default=None)
     parser.add_argument(
-        "--intersector", choices=("auto", "brute", "bvh"), default="auto"
+        "--intersector", choices=("auto", "brute", "bvh", "pallas"),
+        default="auto",
+        help="Intersection backend: auto picks brute below the crossover, "
+             "then the Pallas packet kernel on TPU (XLA walk elsewhere); "
+             "brute/bvh/pallas force a backend (pallas off-TPU runs the "
+             "kernel in interpreter mode — slow, for debugging)",
     )
     parser.add_argument("--devices", type=int, default=0,
                         help="Shard across N devices (0 = single device)")

@@ -259,7 +259,7 @@ _WALK_S = 16  # node-walk steps per outer iteration
 
 def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
                   use_pallas: bool = False, pallas_interpret: bool = False,
-                  t_cap=None):
+                  t_cap=None, pallas_streamed: bool | None = None):
     """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
 
     TPU gathers run far below streaming bandwidth, so the inner walk touches
@@ -335,7 +335,7 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
 
         outs = pallas_bvh.intersect_tris_pallas(
             o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
-            interpret=pallas_interpret,
+            interpret=pallas_interpret, streamed=pallas_streamed,
         )
     else:
         outs = _walk_tris_xla(o, d, best_t0, geom.tri_n, bvh, want_shade)
@@ -708,9 +708,10 @@ def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
     """Pick the intersector backend: 'brute' | 'bvh' | 'pallas'.
 
     'auto' = brute below the measured crossover, else the Pallas packet
-    kernel when running on TPU and the tables fit VMEM, else the XLA walk.
-    Forcing mode='pallas' off-TPU runs the kernel in interpreter mode
-    (slow; for tests/debugging).
+    kernel when running on TPU — resident tables when they fit VMEM,
+    HBM-streaming leaf DMA otherwise (node table must fit) — else the XLA
+    walk. Forcing mode='pallas' off-TPU runs the kernel in interpreter
+    mode (slow; for tests/debugging).
     """
     if _use_brute(geom, mode):
         return "brute"
@@ -722,7 +723,7 @@ def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
         mode == "auto"
         and geom.tri_p0.shape[0] > 0
         and pallas_bvh.on_tpu()
-        and pallas_bvh.supported(bvh)
+        and (pallas_bvh.supported(bvh) or pallas_bvh.supported_streamed(bvh))
     ):
         return "pallas"
     return "bvh"

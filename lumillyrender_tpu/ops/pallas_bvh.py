@@ -62,30 +62,103 @@ SUB = int(os.environ.get("LLR_PALLAS_SUB", "8"))  # sublanes per packet
 LANE = 128
 PACKET = SUB * LANE
 
-# VMEM budget for the resident tables; beyond this the caller falls back to
-# the XLA walk (which streams from HBM).
+# VMEM budget for fully-RESIDENT tables; past this the leaf blocks stream
+# from HBM (double-buffered DMA) while only the node table stays resident.
 VMEM_TABLE_BYTES = 12 * 1024 * 1024
+# Node-table budget for the STREAMED variant (v5e has 128 MiB VMEM; leave
+# ample headroom for ray tiles, scratch and XLA temps). ~96k nodes.
+NODE_VMEM_BYTES = 48 * 1024 * 1024
+
+
+def node_vmem_bytes(bvh) -> int:
+    """pk_nodes is (Nn, 8) but Mosaic lane-pads the last dim to 128."""
+    return bvh.pk_nodes.shape[0] * LANE * 4
 
 
 def table_vmem_bytes(bvh) -> int:
-    """VMEM footprint of the packed tables. pk_nodes is (Nn, 8) but Mosaic
-    lane-pads the last dim to 128."""
-    nn = bvh.pk_nodes.shape[0]
-    return nn * LANE * 4 + bvh.pk_blk.size * 4 + bvh.pk_pm.size * 4
+    """VMEM footprint of the fully-resident packed tables."""
+    return node_vmem_bytes(bvh) + bvh.pk_blk.size * 4 + bvh.pk_pm.size * 4
 
 
-def supported(bvh) -> bool:
-    """Whether the kernel path can serve this BVH (layout + VMEM fit)."""
+def _layout_ok(bvh) -> bool:
     if os.environ.get("LLR_PALLAS", "1") == "0":
         return False
     k = bvh.blk_p0.shape[1]
-    if k <= 0 or 128 % k != 0:
-        return False
-    return table_vmem_bytes(bvh) <= VMEM_TABLE_BYTES
+    return k > 0 and 128 % k == 0
+
+
+def supported(bvh) -> bool:
+    """Whether the resident-table kernel can serve this BVH."""
+    return _layout_ok(bvh) and table_vmem_bytes(bvh) <= VMEM_TABLE_BYTES
+
+
+def supported_streamed(bvh) -> bool:
+    """Whether the HBM-streaming kernel can serve this BVH (node table
+    resident, leaf treelets DMA'd per visit)."""
+    return _layout_ok(bvh) and node_vmem_bytes(bvh) <= NODE_VMEM_BYTES
 
 
 def on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _leaf_test(bval, pval, mval, rays, out_refs, k: int, want_shade: bool):
+    """The statically-unrolled K-triangle Möller-Trumbore over the whole
+    (SUB, LANE) tile, shared by the resident and streamed kernels.
+
+    bval(c, j): scalar read of component c (0..11) of treelet triangle j;
+    pval(j)/mval(j): prim/mat id reads. All lane offsets inside the
+    accessors are compile-time constants (K static) — the one scalar-read
+    shape Mosaic accepts.
+    """
+    ox, oy, oz, dx, dy, dz = rays
+    out_t_ref, out_p_ref = out_refs[0], out_refs[1]
+    carry = [out_t_ref[:], out_p_ref[:]]
+    if want_shade:
+        carry.append(out_refs[2][:])
+        carry.extend(out_refs[3 + c][:] for c in range(3))
+    for j in range(k):
+        p0x, p0y, p0z = bval(0, j), bval(1, j), bval(2, j)
+        e1x, e1y, e1z = bval(3, j), bval(4, j), bval(5, j)
+        e2x, e2y, e2z = bval(6, j), bval(7, j), bval(8, j)
+        pr = pval(j)
+        # Möller-Trumbore, scalar-tri x vector-rays (same math and EPS
+        # cut-offs as `_tri_t_T`, ops/intersect.py).
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_ok = jnp.abs(det) >= EPS
+        inv = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        tri_ok = (
+            det_ok
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= EPS) & (pr >= 0)
+        )
+        upd = tri_ok & (t < carry[0])
+        new = [
+            jnp.where(upd, t, carry[0]),
+            jnp.where(upd, pr, carry[1]),
+        ]
+        if want_shade:
+            new.append(jnp.where(upd, mval(j), carry[2]))
+            for c in range(3):
+                new.append(jnp.where(upd, bval(9 + c, j), carry[3 + c]))
+        carry = new
+    out_t_ref[:] = carry[0]
+    out_p_ref[:] = carry[1]
+    if want_shade:
+        out_refs[2][:] = carry[2]
+        for c in range(3):
+            out_refs[3 + c][:] = carry[3 + c]
 
 
 def _kernel(nodes_ref, blk_ref, pm_ref,
@@ -137,67 +210,139 @@ def _kernel(nodes_ref, blk_ref, pm_ref,
             pbase = leaf * rpm
 
             # PYTHON-unrolled triangle loop (K static): every lane offset
-            # below is a compile-time constant, which is what lets Mosaic
-            # lower the scalar reads (dynamic lane indices are rejected).
-            carry = [out_t_ref[:], out_p_ref[:]]
-            if want_shade:
-                carry.append(out_refs[2][:])
-                carry.extend(out_refs[3 + c][:] for c in range(3))
-            for j in range(k):
-                def bval(c, j=j):
-                    return blk_ref[bbase + (c * k) // LANE, (c * k) % LANE + j]
+            # is a compile-time constant, which is what lets Mosaic lower
+            # the scalar reads (dynamic lane indices are rejected).
+            def bval(c, j):
+                return blk_ref[bbase + (c * k) // LANE, (c * k) % LANE + j]
 
-                p0x, p0y, p0z = bval(0), bval(1), bval(2)
-                e1x, e1y, e1z = bval(3), bval(4), bval(5)
-                e2x, e2y, e2z = bval(6), bval(7), bval(8)
-                pr = pm_ref[pbase + (j // LANE), j % LANE]
-                # Möller-Trumbore, scalar-tri x vector-rays (same math and
-                # EPS cut-offs as `_tri_t_T`, ops/intersect.py).
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                det_ok = jnp.abs(det) >= EPS
-                inv = 1.0 / jnp.where(det_ok, det, 1.0)
-                tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dx * qvx + dy * qvy + dz * qvz) * inv
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                tri_ok = (
-                    det_ok
-                    & (u >= 0.0) & (u <= 1.0)
-                    & (v >= 0.0) & (u + v <= 1.0)
-                    & (t >= EPS) & (pr >= 0)
-                )
-                upd = tri_ok & (t < carry[0])
-                new = [
-                    jnp.where(upd, t, carry[0]),
-                    jnp.where(upd, pr, carry[1]),
-                ]
-                if want_shade:
-                    mt = pm_ref[pbase + mrow + (mlane + j) // LANE,
-                                (mlane + j) % LANE]
-                    new.append(jnp.where(upd, mt, carry[2]))
-                    for c in range(3):
-                        new.append(jnp.where(upd, bval(9 + c), carry[3 + c]))
-                carry = new
-            out_t_ref[:] = carry[0]
-            out_p_ref[:] = carry[1]
-            if want_shade:
-                out_refs[2][:] = carry[2]
-                for c in range(3):
-                    out_refs[3 + c][:] = carry[3 + c]
+            def pval(j):
+                return pm_ref[pbase + (j // LANE), j % LANE]
+
+            def mval(j):
+                return pm_ref[pbase + mrow + (mlane + j) // LANE,
+                              (mlane + j) % LANE]
+
+            _leaf_test(bval, pval, mval, (ox, oy, oz, dx, dy, dz),
+                       out_refs, k, want_shade)
 
         return jax.lax.select(anyhit & jnp.logical_not(is_leaf), cur + 1, miss)
 
     jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
 
 
+def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+                     *rest, k: int, rpb: int, rpm: int, want_shade: bool):
+    """HBM-streaming packet traversal: node table resident in VMEM, leaf
+    treelet blocks DMA'd from HBM on visit.
+
+    Scales to meshes whose triangle tables exceed VMEM (the resident
+    kernel's 12 MiB cap ~ 200k tris): only the node table (8 f32/node)
+    must fit. The DMA is software-pipelined one leaf deep — when leaf B is
+    discovered, leaf A's in-flight copy is waited on and tested, then B's
+    copy starts and overlaps the subsequent node walk. One copy in flight
+    + test-before-restart means a single scratch buffer is safe, and every
+    scratch index is fully static (even the dynamic-sublane trick of the
+    resident kernel is unnecessary).
+    """
+    n_out = 6 if want_shade else 2
+    out_refs = rest[:n_out]
+    blk_buf, pm_buf, sem_b, sem_p = rest[n_out:]
+    out_t_ref, out_p_ref = out_refs[0], out_refs[1]
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    out_t_ref[:] = t0_ref[:]
+    out_p_ref[:] = jnp.full((SUB, LANE), -1, jnp.int32)
+    if want_shade:
+        out_refs[2][:] = jnp.full((SUB, LANE), -1, jnp.int32)
+        for r in out_refs[3:6]:
+            r[:] = jnp.zeros((SUB, LANE), jnp.float32)
+
+    def nval(i, c):
+        return nodes_ref[i, c]
+
+    mrow, mlane = divmod(k, LANE)
+
+    def start_dma(leaf):
+        pltpu.make_async_copy(
+            blk_hbm.at[pl.ds(leaf * rpb, rpb)], blk_buf, sem_b
+        ).start()
+        pltpu.make_async_copy(
+            pm_hbm.at[pl.ds(leaf * rpm, rpm)], pm_buf, sem_p
+        ).start()
+
+    def wait_dma():
+        # Reconstructed descriptors: wait() only needs the semaphore and
+        # the copy size, which are identical for every leaf.
+        pltpu.make_async_copy(
+            blk_hbm.at[pl.ds(0, rpb)], blk_buf, sem_b
+        ).wait()
+        pltpu.make_async_copy(
+            pm_hbm.at[pl.ds(0, rpm)], pm_buf, sem_p
+        ).wait()
+
+    def test_buf():
+        def bval(c, j):
+            return blk_buf[(c * k) // LANE, (c * k) % LANE + j]
+
+        def pval(j):
+            return pm_buf[j // LANE, j % LANE]
+
+        def mval(j):
+            return pm_buf[mrow + (mlane + j) // LANE, (mlane + j) % LANE]
+
+        _leaf_test(bval, pval, mval, (ox, oy, oz, dx, dy, dz),
+                   out_refs, k, want_shade)
+
+    def body(carry):
+        cur, pending = carry
+        mnx, mny, mnz = nval(cur, 0), nval(cur, 1), nval(cur, 2)
+        mxx, mxy, mxz = nval(cur, 3), nval(cur, 4), nval(cur, 5)
+        miss = nval(cur, 6).astype(jnp.int32)
+        leaf = nval(cur, 7).astype(jnp.int32)
+
+        tax, tbx = (mnx - ox) * ix, (mxx - ox) * ix
+        tmin = jnp.minimum(tax, tbx)
+        tmax = jnp.maximum(tax, tbx)
+        tay, tby = (mny - oy) * iy, (mxy - oy) * iy
+        tmin = jnp.maximum(tmin, jnp.minimum(tay, tby))
+        tmax = jnp.minimum(tmax, jnp.maximum(tay, tby))
+        taz, tbz = (mnz - oz) * iz, (mxz - oz) * iz
+        tmin = jnp.maximum(tmin, jnp.minimum(taz, tbz))
+        tmax = jnp.minimum(tmax, jnp.maximum(taz, tbz))
+        ok = (tmin <= tmax) & (tmax >= EPS) & (tmin < out_t_ref[:])
+        anyhit = jnp.any(ok)
+        is_leaf = leaf >= 0
+        found = anyhit & is_leaf
+
+        # Flush the in-flight treelet before its buffer is reused.
+        @pl.when(found & (pending >= 0))
+        def _():
+            wait_dma()
+            test_buf()
+
+        @pl.when(found)
+        def _():
+            start_dma(leaf)
+
+        pending = jnp.where(found, leaf, pending)
+        cur = jax.lax.select(anyhit & jnp.logical_not(is_leaf), cur + 1, miss)
+        return cur, pending
+
+    _, pending = jax.lax.while_loop(
+        lambda c: c[0] >= 0, body, (jnp.int32(0), jnp.int32(-1))
+    )
+
+    @pl.when(pending >= 0)
+    def _():
+        wait_dma()
+        test_buf()
+
+
 def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, *, k, rpb, rpm,
-                 want_shade, interpret):
+                 want_shade, interpret, streamed=False):
     rows = t0_2d.shape[0]
     grid = (rows // SUB,)
     table_spec = lambda a: pl.BlockSpec(
@@ -208,32 +353,52 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, *, k, rpb, rpm,
     n_out = 6 if want_shade else 2
     out_dtypes = [jnp.float32, jnp.int32, jnp.int32,
                   jnp.float32, jnp.float32, jnp.float32][:n_out]
-    kernel = functools.partial(
-        _kernel, k=k, rpb=rpb, rpm=rpm, want_shade=want_shade
-    )
+    if streamed:
+        kernel = functools.partial(
+            _kernel_streamed, k=k, rpb=rpb, rpm=rpm, want_shade=want_shade
+        )
+        blk_spec = pm_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((rpb, LANE), jnp.float32),
+            pltpu.VMEM((rpm, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        vmem_limit = node_vmem_bytes_arr(pk_nodes) + 8 * 1024 * 1024
+    else:
+        kernel = functools.partial(
+            _kernel, k=k, rpb=rpb, rpm=rpm, want_shade=want_shade
+        )
+        blk_spec, pm_spec = table_spec(pk_blk), table_spec(pk_pm)
+        scratch = []
+        vmem_limit = VMEM_TABLE_BYTES + 4 * 1024 * 1024
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANE), dt) for dt in out_dtypes
         ],
-        in_specs=[table_spec(pk_nodes), table_spec(pk_blk), table_spec(pk_pm)]
-        + [ray_spec] * 7,
+        in_specs=[table_spec(pk_nodes), blk_spec, pm_spec] + [ray_spec] * 7,
         out_specs=[
             pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_out)
         ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_TABLE_BYTES + 4 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(pk_nodes, pk_blk, pk_pm, *rays2d, t0_2d)
 
 
+def node_vmem_bytes_arr(pk_nodes) -> int:
+    return pk_nodes.shape[0] * LANE * 4
+
+
 @functools.lru_cache(maxsize=None)
 def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
-                  interpret: bool):
+                  interpret: bool, streamed: bool = False):
     """custom_vjp-wrapped kernel call for a given static configuration."""
 
     @jax.custom_vjp
@@ -261,7 +426,7 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
         outs = _pallas_call(
             pk_nodes, pk_blk, pk_pm, rays2d, t0_2d,
             k=k, rpb=rpb, rpm=rpm, want_shade=want_shade,
-            interpret=interpret,
+            interpret=interpret, streamed=streamed,
         )
         outs = [x.reshape(-1)[: n] for x in outs]
         return tuple(outs)
@@ -302,17 +467,20 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
 
 
 def intersect_tris_pallas(o, d, t_init, bvh, tri_n, want_shade: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False, streamed: bool | None = None):
     """Nearest triangle hit strictly closer than `t_init` per lane.
 
     o, d: (N, 3); t_init: (N,) prune threshold (e.g. sphere pre-pass t or
     INF). Returns (t, prim[, mat, nx, ny, nz]) with prim = -1 where no
     triangle beat t_init (then t == t_init). `tri_n` (T,3) face normals
-    feed the backward pass only.
+    feed the backward pass only. `streamed=None` auto-selects: resident
+    tables when they fit VMEM, HBM-streaming otherwise.
     """
+    if streamed is None:
+        streamed = not supported(bvh)
     k = bvh.blk_p0.shape[1]
     rpb = (12 * k + 127) // 128
     rpm = (2 * k + 127) // 128
-    fn = _make_diff_fn(k, rpb, rpm, want_shade, interpret)
+    fn = _make_diff_fn(k, rpb, rpm, want_shade, interpret, streamed)
     return fn(o, d, jax.lax.stop_gradient(t_init),
               bvh.pk_nodes, bvh.pk_blk, bvh.pk_pm, tri_n)

@@ -134,3 +134,54 @@ def test_pallas_prune_threshold_respected():
     np.testing.assert_array_equal(
         np.asarray(sp_p.mat)[sph_lanes], np.asarray(sp_b.mat)[sph_lanes]
     )
+
+
+@pytest.mark.parametrize("want_shade", [False, True])
+def test_pallas_streamed_matches_brute(want_shade):
+    """HBM-streaming kernel (leaf treelets DMA'd per visit) must agree with
+    the brute oracle exactly like the resident kernel does."""
+    geom, (p0, e1, e2, nrm, tmat) = _scene(seed=21, tris=513)
+    arrays = build_tri_bvh(p0, e1, e2, tri_n=nrm, tri_mat=tmat, max_leaf=32)
+    bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    o, d = _rays(1500, seed=22)
+
+    hit_b, sp_b = intersect_shade_brute(o, d, geom)
+    res = intersect_bvh(
+        o, d, geom, bvh, want_shade=want_shade, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=True,
+    )
+    hit_p = res[0] if want_shade else res
+
+    t_b, t_p = np.asarray(hit_b.t), np.asarray(hit_p.t)
+    np.testing.assert_allclose(t_p, t_b, rtol=1e-3, atol=1e-3)
+    same = np.asarray(hit_b.prim) == np.asarray(hit_p.prim)
+    tie = np.abs(t_b - t_p) <= 1e-3 * np.maximum(np.abs(t_b), 1.0)
+    assert np.all(same | tie)
+    if want_shade:
+        sp_p = res[1]
+        assert np.all((np.asarray(sp_b.mat) == np.asarray(sp_p.mat)) | ~same)
+        nd = np.abs(np.asarray(sp_b.normal) - np.asarray(sp_p.normal)).max(1)
+        assert nd[same].max() < 1e-4
+
+
+def test_pallas_streamed_matches_resident():
+    """Same inputs through both kernel variants -> bit-identical outputs
+    (identical math; only the treelet fetch mechanism differs)."""
+    geom, (p0, e1, e2, nrm, tmat) = _scene(seed=31, tris=300)
+    arrays = build_tri_bvh(p0, e1, e2, tri_n=nrm, tri_mat=tmat, max_leaf=32)
+    bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    o, d = _rays(2048, seed=32)
+    h_r, sp_r = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=False,
+    )
+    h_s, sp_s = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h_r.t), np.asarray(h_s.t))
+    np.testing.assert_array_equal(np.asarray(h_r.prim), np.asarray(h_s.prim))
+    np.testing.assert_array_equal(np.asarray(sp_r.mat), np.asarray(sp_s.mat))
+    np.testing.assert_array_equal(
+        np.asarray(sp_r.normal), np.asarray(sp_s.normal)
+    )

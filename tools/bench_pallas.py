@@ -130,14 +130,64 @@ def main():
             mrps = n / dt / 1e6
             results[(case, name)] = (mrps, ref)
             print(f"{case:10s} {name:13s} {mrps:9.2f} M rays/s   "
-                  f"t_sum={ref[0]:.4e} hits_ok", flush=True)
-        # cross-check sums agree between backends
-        base = results[(case, "brute")][1]
-        for name, _ in backends:
-            r = results[(case, name)][1]
-            rel = abs(r[0] - base[0]) / max(abs(base[0]), 1e-9)
-            if rel > 1e-4:
-                print(f"  WARNING {case}/{name}: t_sum differs rel={rel:.2e}")
+                  f"t_sum={ref[0]:.4e}", flush=True)
+
+    # ---- HARD parity gate (on-TPU Mosaic-lowering check) ------------------
+    # Per-lane (t, prim, mat, normal) of every backend vs the brute oracle.
+    # Lanes whose winner prim differs are only tolerated when the two t's
+    # tie within float-contraction noise (FMA regrouping legitimately flips
+    # argmin ties); everything else is a real kernel bug and ABORTS.
+    from lumillyrender_tpu.ops.intersect import intersect_shade_brute
+
+    parity = {"backend": jax.default_backend(), "tris": int(nt),
+              "rays": int(n), "cases": {}}
+    shade_backends = [
+        ("pallas", lambda o, d: intersect_bvh(
+            o, d, geom, bvh, want_shade=True, use_pallas=True)),
+        ("xla-walk", lambda o, d: intersect_bvh(
+            o, d, geom, bvh, want_shade=True)),
+    ]
+    failures = []
+    for case, (o, d) in cases.items():
+        hb, sb = jax.jit(intersect_shade_brute)(o, d)
+        tb = np.asarray(hb.t)
+        scale = max(float(np.abs(tb[np.isfinite(tb)]).max()), 1.0)
+        tol = 1e-4 * scale
+        for name, fn in shade_backends:
+            h, s = jax.jit(fn)(o, d)
+            t = np.asarray(h.t)
+            prim_eq = np.asarray(h.prim) == np.asarray(hb.prim)
+            t_close = np.abs(t - tb) <= tol
+            # prim flips are OK only on t-ties; same-prim lanes must agree
+            # on t, material row and normal.
+            bad_flip = (~prim_eq) & ~t_close
+            nrm_d = np.abs(np.asarray(s.normal) - np.asarray(sb.normal)).max(-1)
+            bad_attr = prim_eq & (
+                ~t_close
+                | (np.asarray(s.mat) != np.asarray(sb.mat))
+                | (nrm_d > 1e-4)
+            )
+            n_bad = int(bad_flip.sum() + bad_attr.sum())
+            n_flip = int((~prim_eq).sum())
+            parity["cases"][f"{case}/{name}"] = {
+                "bad_lanes": n_bad,
+                "tie_flips": n_flip,
+                "max_rel_t": float(np.abs(t - tb).max() / scale),
+            }
+            status = "OK" if n_bad == 0 else "FAIL"
+            print(f"parity {case:10s} {name:9s}: bad={n_bad} "
+                  f"tie_flips={n_flip} {status}", flush=True)
+            if n_bad:
+                failures.append(f"{case}/{name}: {n_bad} mismatched lanes")
+
+    parity["ok"] = not failures
+    out = REPO / "PALLAS_PARITY.json"
+    import json
+
+    out.write_text(json.dumps(parity, indent=1))
+    print(f"wrote {out}")
+    if failures:
+        raise SystemExit("PALLAS PARITY FAILED: " + "; ".join(failures))
 
 
 if __name__ == "__main__":
