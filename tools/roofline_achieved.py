@@ -236,6 +236,95 @@ def main():
     ops = 2 * (T * (OPS_TRI_MT + OPS_TRI_FOLD) + S * OPS_SPH) + OPS_BSDF + OPS_NEE_LOCAL + 5 * OPS_RNG2
     add("full bounce step (NEE)", dt, ops, 3 * 28, "2 rays/lane/bounce")
 
+    # ---- backward decomposition (VERDICT r2 weak #4) ---------------------
+    # (a) VJP of ONE bounce step: loss-form forward vs value_and_grad over
+    # the same function isolates the pure backward cost of the shading +
+    # traversal-VJP chain at full wavefront width.
+    thr0 = jnp.ones((N, 3))
+
+    def one_bounce_loss(o_, d_, thr):
+        st = PathState(
+            bounce=jnp.int32(1), o=o_, d=d_, throughput=thr,
+            accum=jnp.zeros((N, 3)), alive=jnp.ones((N,), bool),
+            rays_traced=jnp.float32(0), lane=lane,
+        )
+        s2 = step(st)
+        return jnp.sum(s2.accum) + jnp.sum(s2.throughput * s2.d)
+
+    def fwd_loss_body(carry):
+        o_, acc = carry
+        v = one_bounce_loss(o_, d, thr0)
+        return (o_ + 1e-9 * v, acc + v)
+
+    dt_f = timeit_scan(fwd_loss_body, (o, jnp.float32(0.0)))
+
+    gfn = jax.grad(one_bounce_loss, argnums=(0, 1, 2))
+
+    def vjp_body(carry):
+        o_, acc = carry
+        go, gd, gt = gfn(o_, d, thr0)
+        return (o_ + 1e-9 * go, acc + jnp.sum(gt[:, 0]))
+
+    dt_g = timeit_scan(vjp_body, (o, jnp.float32(0.0)))
+    # Backward replays shading (~1x) + traversal plane-eq VJP; report the
+    # measured bwd-only time with its analytic op estimate.
+    dt_bwd = max(dt_g - dt_f, 1e-9)
+    bwd_ops = 2 * (OPS_BSDF + OPS_NEE_LOCAL) + 80
+    add("bounce step VJP (bwd only)", dt_bwd, bwd_ops, 3 * 28,
+        f"grad-fwd {dt_g*1e3:.2f} ms vs fwd {dt_f*1e3:.2f} ms")
+
+    # (b) film scatter-add cotangent: forward scatter vs its VJP (gather).
+    n_pix = 256 * 256
+    pix = (lane % jnp.uint32(n_pix)).astype(jnp.int32)
+    vals = jnp.ones((N, 3))
+
+    def bank_loss(v):
+        film = jnp.zeros((n_pix, 3)).at[pix].add(v)
+        return jnp.sum(film * film)
+
+    def bank_fwd_body(carry):
+        v, acc = carry
+        s = bank_loss(v)
+        return (v + 1e-12 * s, acc + s)
+
+    dt_bf = timeit_scan(bank_fwd_body, (vals, jnp.float32(0.0)))
+    bgrad = jax.grad(bank_loss)
+
+    def bank_vjp_body(carry):
+        v, acc = carry
+        g = bgrad(v)
+        return (v + 1e-12 * g, acc + jnp.sum(g[:, 0]))
+
+    dt_bg = timeit_scan(bank_vjp_body, (vals, jnp.float32(0.0)))
+    add("film bank VJP (bwd only)", max(dt_bg - dt_bf, 1e-9), 6, 24,
+        f"scatter {dt_bf*1e3:.2f} ms, +vjp {dt_bg*1e3:.2f} ms")
+
+    # (c) material-table one-hot select VJP (the differentiable gather).
+    mtab = jnp.asarray(np.random.default_rng(0).random((8, 3)), jnp.float32)
+    midx = (lane % jnp.uint32(8)).astype(jnp.int32)
+    from lumillyrender_tpu.ops.table import take_rows
+
+    def rows_loss(tab):
+        r = take_rows(tab, midx)
+        return jnp.sum(r * vals)
+
+    rgrad = jax.grad(rows_loss)
+
+    def rows_fwd_body(carry):
+        tab, acc = carry
+        s = rows_loss(tab)
+        return (tab + 1e-12 * s, acc + s)
+
+    def rows_vjp_body(carry):
+        tab, acc = carry
+        g = rgrad(tab)
+        return (tab + 1e-12 * g, acc + jnp.sum(g))
+
+    dt_rf = timeit_scan(rows_fwd_body, (mtab, jnp.float32(0.0)))
+    dt_rg = timeit_scan(rows_vjp_body, (mtab, jnp.float32(0.0)))
+    add("take_rows VJP (bwd only)", max(dt_rg - dt_rf, 1e-9), 8 * 4, 12,
+        f"one-hot fwd {dt_rf*1e3:.2f} ms, +vjp {dt_rg*1e3:.2f} ms")
+
     # ---- flagship fwd+bwd: one differentiable bounce chain ---------------
     import dataclasses
 
