@@ -134,7 +134,7 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     # hits that the reference's comparison accepts.
     shadow, shadow_sp = intersect_shade(
         sp.position, wi, scene.geometry, scene.bvh, settings.intersector,
-        t_cap=dist + 2.0 * EPS,
+        t_cap=dist + 2.0 * EPS, occlusion=True,
     )
     visible = shadow_sp.hit & (jnp.abs(shadow.t - dist) <= EPS)
     ok = ok & visible

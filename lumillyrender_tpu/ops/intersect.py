@@ -259,7 +259,8 @@ _WALK_S = 16  # node-walk steps per outer iteration
 
 def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
                   use_pallas: bool = False, pallas_interpret: bool = False,
-                  t_cap=None, pallas_streamed: bool | None = None):
+                  t_cap=None, pallas_streamed: bool | None = None,
+                  occlusion: bool = False):
     """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
 
     TPU gathers run far below streaming bandwidth, so the inner walk touches
@@ -288,6 +289,11 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
     cap = jnp.full((n,), INF, o.dtype) if t_cap is None else t_cap
     best_t0 = cap
     best_p0 = jnp.full((n,), -1, jnp.int32)
+    # Occlusion queries additionally stop a lane once ANY hit lands below
+    # cap - 4*EPS: such a hit already settles the |t - dist| <= EPS verdict
+    # as "occluded" no matter what closer hits exist, so the true nearest
+    # is irrelevant. stop = -INF (never) for nearest-hit queries.
+    stop = cap - 4.0 * EPS if occlusion else jnp.full((n,), -INF, o.dtype)
     if want_shade:
         sh0 = (
             jnp.full((n,), -1, jnp.int32),
@@ -336,9 +342,11 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
         outs = pallas_bvh.intersect_tris_pallas(
             o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
             interpret=pallas_interpret, streamed=pallas_streamed,
+            t_stop=stop,
         )
     else:
-        outs = _walk_tris_xla(o, d, best_t0, geom.tri_n, bvh, want_shade)
+        outs = _walk_tris_xla(o, d, best_t0, geom.tri_n, bvh, want_shade,
+                              stop)
     t_tri, prim = outs[0], outs[1]
     won = prim >= 0
     res_t = jnp.where(won, t_tri, best_t0)
@@ -350,7 +358,8 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
     return finish(res_t, res_p, ())
 
 
-def _walk_tris_xla(o, d, t_init, tri_n, bvh: Bvh, want_shade: bool):
+def _walk_tris_xla(o, d, t_init, tri_n, bvh: Bvh, want_shade: bool,
+                   t_stop=None):
     """XLA-walk triangle intersector with the Pallas kernel's contract:
     (t, prim[, mat, nx, ny, nz]) with prim = -1 where no triangle beat
     `t_init` (t == t_init there). Traversal runs on DETACHED inputs (the
@@ -358,17 +367,20 @@ def _walk_tris_xla(o, d, t_init, tri_n, bvh: Bvh, want_shade: bool):
     decision anyway); given the winner, dt/d(o,d) is the plane-equation
     derivative reconstructed in a custom_vjp — identical maths to
     `pallas_bvh._make_diff_fn`."""
+    if t_stop is None:
+        t_stop = jnp.full(t_init.shape, -INF, t_init.dtype)
 
     @jax.custom_vjp
-    def f(o, d, t_init, tri_n):
+    def f(o, d, t_init, t_stop, tri_n):
         return _walk_raw(
             jax.lax.stop_gradient(o),
             jax.lax.stop_gradient(d),
             jax.lax.stop_gradient(t_init),
+            jax.lax.stop_gradient(t_stop),
         )
 
-    def fwd(o, d, t_init, tri_n):
-        outs = f(o, d, t_init, tri_n)
+    def fwd(o, d, t_init, t_stop, tri_n):
+        outs = f(o, d, t_init, t_stop, tri_n)
         return outs, (d, outs[0], outs[1], tri_n)
 
     def bwd(res, g):
@@ -385,22 +397,25 @@ def _walk_tris_xla(o, d, t_init, tri_n, bvh: Bvh, want_shade: bool):
         inv = jnp.where(safe, 1.0 / jnp.where(safe, dn, 1.0), 0.0)
         o_bar = (-g_t * inv)[..., None] * nrm
         d_bar = (-g_t * t * inv)[..., None] * nrm
-        return o_bar, d_bar, jnp.zeros_like(g_t), jnp.zeros_like(tri_n)
+        return (o_bar, d_bar, jnp.zeros_like(g_t), jnp.zeros_like(g_t),
+                jnp.zeros_like(tri_n))
 
     f.defvjp(fwd, bwd)
 
-    def _walk_raw(o, d, t_init):
-        return _walk_tris_impl(o, d, t_init, bvh, want_shade)
+    def _walk_raw(o, d, t_init, t_stop):
+        return _walk_tris_impl(o, d, t_init, bvh, want_shade, t_stop)
 
-    return f(o, d, t_init, tri_n)
+    return f(o, d, t_init, t_stop, tri_n)
 
 
-def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
+def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool, t_stop=None):
     """The raw collect-then-flush cursor walk (non-differentiable)."""
     n = o.shape[0]
     inv_d = 1.0 / d
     best_t0 = t_init
     best_p0 = jnp.full((n,), -1, jnp.int32)
+    if t_stop is None:
+        t_stop = jnp.full((n,), -INF, o.dtype)
     sh0 = (
         (jnp.full((n,), -1, jnp.int32),) + (jnp.zeros((n,), o.dtype),) * 3
         if want_shade
@@ -434,14 +449,16 @@ def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
 
     def make_body(width):
         def body(state):
-            node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots, sh = state
+            (node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, stop_s,
+             slots, sh) = state
             oc = tuple(o_s[:, i] for i in range(3))
             dc = tuple(d_s[:, i] for i in range(3))
             ic = tuple(inv_s[:, i] for i in range(3))
 
             def walk(carry, _):
                 node, best_t, cand, ncand = carry
-                active = (node >= 0) & (ncand < _CAND_B)
+                # best_t <= stop: occlusion verdict settled, lane done.
+                active = (node >= 0) & (ncand < _CAND_B) & (best_t > stop_s)
                 row = jnp.take(nodes8, jnp.maximum(node, 0), axis=0)
                 miss = row[:, 6].astype(jnp.int32)
                 leaf = row[:, 7].astype(jnp.int32)
@@ -526,7 +543,8 @@ def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
                     sh = (m, f0_, f1_, f2_)
             cand = jnp.full((width, _CAND_B), -1, jnp.int32)
             ncand = jnp.zeros((width,), jnp.int32)
-            return node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots, sh
+            return (node, best_t, best_p, cand, ncand, o_s, d_s, inv_s,
+                    stop_s, slots, sh)
 
         return body
 
@@ -555,6 +573,7 @@ def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
         o,
         d,
         inv_d,
+        t_stop,
         jnp.arange(n, dtype=jnp.int32),
         sh0,
     )
@@ -562,17 +581,18 @@ def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
         nxt = widths[i + 1] if i + 1 < len(widths) else 0
 
         def cond(s, nxt=nxt):
-            node, _, _, _, ncand = s[0], s[1], s[2], s[3], s[4]
-            active = (node >= 0) | (ncand > 0)
+            node, best_t, ncand, stop_s = s[0], s[1], s[4], s[8]
+            active = ((node >= 0) | (ncand > 0)) & (best_t > stop_s)
             return jnp.any(active) & (jnp.sum(active.astype(jnp.int32)) > nxt)
 
         state = jax.lax.while_loop(cond, make_body(w), state)
-        node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, slots, sh = state
+        (node, best_t, best_p, cand, ncand, o_s, d_s, inv_s, stop_s,
+         slots, sh) = state
         res_t = res_t.at[slots].set(best_t)
         res_p = res_p.at[slots].set(best_p)
         res_sh = tuple(r.at[slots].set(v) for r, v in zip(res_sh, sh))
         if nxt:
-            active = (node >= 0) | (ncand > 0)
+            active = ((node >= 0) | (ncand > 0)) & (best_t > stop_s)
             order = jnp.argsort(~active)[:nxt]  # actives first (stable)
             state = (
                 jnp.take(node, order),
@@ -583,10 +603,11 @@ def _walk_tris_impl(o, d, t_init, bvh: Bvh, want_shade: bool):
                 jnp.take(o_s, order, axis=0),
                 jnp.take(d_s, order, axis=0),
                 jnp.take(inv_s, order, axis=0),
+                jnp.take(stop_s, order),
                 jnp.take(slots, order),
                 tuple(jnp.take(v, order) for v in sh),
             )
-    node, best_t, best_p, _, _, _, _, _, slots, sh = state
+    node, best_t, best_p, _, _, _, _, _, _, slots, sh = state
     res_t = res_t.at[slots].set(best_t)
     res_p = res_p.at[slots].set(best_p)
     res_sh = tuple(r.at[slots].set(v) for r, v in zip(res_sh, sh))
@@ -744,7 +765,7 @@ def intersect(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto") -> Hit:
 
 
 def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto",
-                    t_cap=None):
+                    t_cap=None, occlusion: bool = False):
     """(Hit, ShadePoint) fused — hit attributes are selected inside the
     intersection fold/flush, never gathered from prim tables afterwards.
 
@@ -752,6 +773,10 @@ def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto",
     reported as misses. Shadow rays pass light_distance + EPS so the BVH
     traversal prunes every subtree beyond the light (`scene.rs:127-131`
     only needs |t - dist| <= EPS) — identical results, far less work.
+    `occlusion=True` (requires t_cap) additionally lets a lane STOP once
+    any hit below t_cap - 4*EPS is found — that hit settles the verdict as
+    occluded regardless of the true nearest (brute force ignores this; it
+    streams all prims either way).
     """
     backend = _resolve(geom, bvh, mode)
     if backend == "brute":
@@ -762,8 +787,10 @@ def intersect_shade(o, d, geom: Geometry, bvh: Bvh, mode: str = "auto",
         return intersect_bvh(
             o, d, geom, bvh, want_shade=True, use_pallas=True,
             pallas_interpret=not pallas_bvh.on_tpu(), t_cap=t_cap,
+            occlusion=occlusion,
         )
-    return intersect_bvh(o, d, geom, bvh, want_shade=True, t_cap=t_cap)
+    return intersect_bvh(o, d, geom, bvh, want_shade=True, t_cap=t_cap,
+                         occlusion=occlusion)
 
 
 def shade_point(o, d, hit: Hit, geom: Geometry) -> ShadePoint:

@@ -163,11 +163,13 @@ def _leaf_test(bval, pval, mval, rays, out_refs, k: int, want_shade: bool):
 
 def _kernel(nodes_ref, blk_ref, pm_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-            *out_refs, k: int, rpb: int, rpm: int, want_shade: bool):
+            stop_ref, *out_refs, k: int, rpb: int, rpm: int,
+            want_shade: bool):
     out_t_ref = out_refs[0]
     out_p_ref = out_refs[1]
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    stop = stop_ref[:]  # occlusion early-stop (-INF for nearest-hit)
     # IEEE inf on zero components — same slab semantics as the XLA walk.
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
@@ -200,7 +202,9 @@ def _kernel(nodes_ref, blk_ref, pm_ref,
         taz, tbz = (mnz - oz) * iz, (mxz - oz) * iz
         tmin = jnp.maximum(tmin, jnp.minimum(taz, tbz))
         tmax = jnp.minimum(tmax, jnp.maximum(taz, tbz))
-        ok = (tmin <= tmax) & (tmax >= EPS) & (tmin < out_t_ref[:])
+        cur_t = out_t_ref[:]
+        ok = ((tmin <= tmax) & (tmax >= EPS) & (tmin < cur_t)
+              & (cur_t > stop))
         anyhit = jnp.any(ok)
         is_leaf = leaf >= 0
 
@@ -232,7 +236,8 @@ def _kernel(nodes_ref, blk_ref, pm_ref,
 
 def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-                     *rest, k: int, rpb: int, rpm: int, want_shade: bool):
+                     stop_ref, *rest, k: int, rpb: int, rpm: int,
+                     want_shade: bool):
     """HBM-streaming packet traversal: node table resident in VMEM, leaf
     treelet blocks DMA'd from HBM on visit.
 
@@ -251,6 +256,7 @@ def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
     out_t_ref, out_p_ref = out_refs[0], out_refs[1]
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    stop = stop_ref[:]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
     out_t_ref[:] = t0_ref[:]
@@ -312,7 +318,9 @@ def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
         taz, tbz = (mnz - oz) * iz, (mxz - oz) * iz
         tmin = jnp.maximum(tmin, jnp.minimum(taz, tbz))
         tmax = jnp.minimum(tmax, jnp.maximum(taz, tbz))
-        ok = (tmin <= tmax) & (tmax >= EPS) & (tmin < out_t_ref[:])
+        cur_t = out_t_ref[:]
+        ok = ((tmin <= tmax) & (tmax >= EPS) & (tmin < cur_t)
+              & (cur_t > stop))
         anyhit = jnp.any(ok)
         is_leaf = leaf >= 0
         found = anyhit & is_leaf
@@ -341,8 +349,8 @@ def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
         test_buf()
 
 
-def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, *, k, rpb, rpm,
-                 want_shade, interpret, streamed=False):
+def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, stop_2d, *, k, rpb,
+                 rpm, want_shade, interpret, streamed=False):
     rows = t0_2d.shape[0]
     grid = (rows // SUB,)
     table_spec = lambda a: pl.BlockSpec(
@@ -378,7 +386,7 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, *, k, rpb, rpm,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANE), dt) for dt in out_dtypes
         ],
-        in_specs=[table_spec(pk_nodes), blk_spec, pm_spec] + [ray_spec] * 7,
+        in_specs=[table_spec(pk_nodes), blk_spec, pm_spec] + [ray_spec] * 8,
         out_specs=[
             pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -389,7 +397,7 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, *, k, rpb, rpm,
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(pk_nodes, pk_blk, pk_pm, *rays2d, t0_2d)
+    )(pk_nodes, pk_blk, pk_pm, *rays2d, t0_2d, stop_2d)
 
 
 def node_vmem_bytes_arr(pk_nodes) -> int:
@@ -402,10 +410,10 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
     """custom_vjp-wrapped kernel call for a given static configuration."""
 
     @jax.custom_vjp
-    def f(o, d, t_init, pk_nodes, pk_blk, pk_pm, tri_n):
-        return _run(o, d, t_init, pk_nodes, pk_blk, pk_pm)
+    def f(o, d, t_init, t_stop, pk_nodes, pk_blk, pk_pm, tri_n):
+        return _run(o, d, t_init, t_stop, pk_nodes, pk_blk, pk_pm)
 
-    def _run(o, d, t_init, pk_nodes, pk_blk, pk_pm):
+    def _run(o, d, t_init, t_stop, pk_nodes, pk_blk, pk_pm):
         n = o.shape[0]
         pad = (-n) % PACKET
         if pad:
@@ -419,12 +427,16 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
             t_init = jnp.concatenate(
                 [t_init, jnp.full((pad,), INF, t_init.dtype)], axis=0
             )
+            t_stop = jnp.concatenate(
+                [t_stop, jnp.full((pad,), -INF, t_stop.dtype)], axis=0
+            )
         rays2d = tuple(
             a[:, c].reshape(-1, LANE) for a in (o, d) for c in range(3)
         )
         t0_2d = t_init.reshape(-1, LANE)
+        stop_2d = t_stop.reshape(-1, LANE)
         outs = _pallas_call(
-            pk_nodes, pk_blk, pk_pm, rays2d, t0_2d,
+            pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, stop_2d,
             k=k, rpb=rpb, rpm=rpm, want_shade=want_shade,
             interpret=interpret, streamed=streamed,
         )
@@ -432,8 +444,8 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
         return tuple(outs)
 
 
-    def fwd(o, d, t_init, pk_nodes, pk_blk, pk_pm, tri_n):
-        outs = _run(o, d, t_init, pk_nodes, pk_blk, pk_pm)
+    def fwd(o, d, t_init, t_stop, pk_nodes, pk_blk, pk_pm, tri_n):
+        outs = _run(o, d, t_init, t_stop, pk_nodes, pk_blk, pk_pm)
         t, prim = outs[0], outs[1]
         return outs, (d, t, prim, tri_n, pk_nodes, pk_blk, pk_pm)
 
@@ -456,6 +468,7 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
             o_bar,
             d_bar,
             jnp.zeros_like(g_t),  # t_init (detached by construction)
+            jnp.zeros_like(g_t),  # t_stop (detached by construction)
             jnp.zeros_like(pk_nodes),
             jnp.zeros_like(pk_blk),
             np.zeros(pk_pm.shape, jax.dtypes.float0),  # int32 -> float0
@@ -467,20 +480,26 @@ def _make_diff_fn(k: int, rpb: int, rpm: int, want_shade: bool,
 
 
 def intersect_tris_pallas(o, d, t_init, bvh, tri_n, want_shade: bool = False,
-                          interpret: bool = False, streamed: bool | None = None):
+                          interpret: bool = False,
+                          streamed: bool | None = None, t_stop=None):
     """Nearest triangle hit strictly closer than `t_init` per lane.
 
     o, d: (N, 3); t_init: (N,) prune threshold (e.g. sphere pre-pass t or
     INF). Returns (t, prim[, mat, nx, ny, nz]) with prim = -1 where no
     triangle beat t_init (then t == t_init). `tri_n` (T,3) face normals
     feed the backward pass only. `streamed=None` auto-selects: resident
-    tables when they fit VMEM, HBM-streaming otherwise.
+    tables when they fit VMEM, HBM-streaming otherwise. `t_stop` (N,)
+    stops a lane once its best t falls below it (occlusion queries; see
+    intersect_bvh).
     """
     if streamed is None:
         streamed = not supported(bvh)
+    if t_stop is None:
+        t_stop = jnp.full(t_init.shape, -INF, t_init.dtype)
     k = bvh.blk_p0.shape[1]
     rpb = (12 * k + 127) // 128
     rpm = (2 * k + 127) // 128
     fn = _make_diff_fn(k, rpb, rpm, want_shade, interpret, streamed)
     return fn(o, d, jax.lax.stop_gradient(t_init),
+              jax.lax.stop_gradient(t_stop),
               bvh.pk_nodes, bvh.pk_blk, bvh.pk_pm, tri_n)

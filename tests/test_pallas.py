@@ -185,3 +185,68 @@ def test_pallas_streamed_matches_resident():
     np.testing.assert_array_equal(
         np.asarray(sp_r.normal), np.asarray(sp_s.normal)
     )
+
+
+@pytest.mark.parametrize("streamed", [False, True])
+def test_occlusion_early_stop_verdict_parity(streamed):
+    """occlusion=True may stop early and report a different (non-nearest)
+    hit, but the visibility VERDICT |t - dist| <= EPS must match the exact
+    nearest-hit query on every lane."""
+    from lumillyrender_tpu.constants import EPS
+    from lumillyrender_tpu.ops.intersect import intersect_bvh
+
+    geom, (p0, e1, e2, nrm, tmat) = _scene(seed=41, tris=400)
+    arrays = build_tri_bvh(p0, e1, e2, tri_n=nrm, tri_mat=tmat, max_leaf=16)
+    bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    o, d = _rays(2048, seed=42)
+    # Fake light distances spanning hit/miss/boundary regimes.
+    rng = np.random.default_rng(43)
+    dist = jnp.asarray(rng.uniform(0.3, 6.0, size=2048).astype(np.float32))
+    cap = dist + 2.0 * EPS
+
+    h_ex, _ = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=streamed, t_cap=cap,
+    )
+    h_oc, sp_oc = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=streamed, t_cap=cap,
+        occlusion=True,
+    )
+    vis_ex = np.asarray(h_ex.prim >= 0) & (
+        np.abs(np.asarray(h_ex.t) - np.asarray(dist)) <= EPS
+    )
+    vis_oc = np.asarray(sp_oc.hit) & (
+        np.abs(np.asarray(h_oc.t) - np.asarray(dist)) <= EPS
+    )
+    np.testing.assert_array_equal(vis_oc, vis_ex)
+    # Note: reported t often matches the exact query anyway — a stopped
+    # lane still rides leaf tests triggered by its packet-mates; the win
+    # is pruned node descends, which this gate doesn't observe. What it
+    # DOES pin is that early-stopping never flips a visibility verdict.
+
+
+def test_occlusion_early_stop_verdict_parity_walk():
+    """Same verdict-parity gate through the XLA walk backend."""
+    from lumillyrender_tpu.constants import EPS
+    from lumillyrender_tpu.ops.intersect import intersect_bvh
+
+    geom, (p0, e1, e2, nrm, tmat) = _scene(seed=51, tris=400)
+    arrays = build_tri_bvh(p0, e1, e2, tri_n=nrm, tri_mat=tmat, max_leaf=16)
+    bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    o, d = _rays(2048, seed=52)
+    rng = np.random.default_rng(53)
+    dist = jnp.asarray(rng.uniform(0.3, 6.0, size=2048).astype(np.float32))
+    cap = dist + 2.0 * EPS
+
+    h_ex, _ = intersect_bvh(o, d, geom, bvh, want_shade=True, t_cap=cap)
+    h_oc, sp_oc = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, t_cap=cap, occlusion=True
+    )
+    vis_ex = np.asarray(h_ex.prim >= 0) & (
+        np.abs(np.asarray(h_ex.t) - np.asarray(dist)) <= EPS
+    )
+    vis_oc = np.asarray(sp_oc.hit) & (
+        np.abs(np.asarray(h_oc.t) - np.asarray(dist)) <= EPS
+    )
+    np.testing.assert_array_equal(vis_oc, vis_ex)
