@@ -145,7 +145,8 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     g = cos_p * light_cos / jnp.maximum(vec.sqr_norm(path), 1e-20)
     # Evaluation table may carry gradients; same rows as the sampling table.
     f = bsdf.eval_brdf(
-        bsdf.gather(mats_eval, sp.mat), out_dir, wi, point_normal, sp.position
+        bsdf.gather(mats_eval, sp.mat), out_dir, wi, point_normal,
+        sp.position, present=settings.mat_types,
     )
     l_e = bsdf.gather(mats_eval, shadow_sp.mat).emission
     contrib = f * l_e * (g / pdf)[..., None]
@@ -218,9 +219,12 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
             rays = rays + jnp.sum(alive.astype(jnp.float32))  # shadow rays
 
         # BSDF sampling + throughput update (`scene.rs:78-102`).
-        s = bsdf.sample(m_sample, out_dir, sp.normal, r1, r2, r3)
-        f = bsdf.eval_brdf(m_eval, out_dir, s.direction, sp.normal, sp.position)
-        cf = bsdf.coef(m_eval, out_dir, sp.normal, hit.t)
+        s = bsdf.sample(m_sample, out_dir, sp.normal, r1, r2, r3,
+                        present=settings.mat_types)
+        f = bsdf.eval_brdf(m_eval, out_dir, s.direction, sp.normal,
+                           sp.position, present=settings.mat_types)
+        cf = bsdf.coef(m_eval, out_dir, sp.normal, hit.t,
+                       present=settings.mat_types)
         cos = vec.dot(s.direction, sp.normal)  # geometric n (`scene.rs:91`)
         w = f * cf * (cos / jnp.where(s.pdf != 0.0, s.pdf, 1.0))[..., None]
         throughput = throughput * jnp.where(alive[..., None], w, 1.0)
@@ -304,7 +308,11 @@ def _stage_plan(n: int, settings: RenderSettings):
 
     Widths shrink as Russian roulette kills paths; capacities are sized so
     overflow (which triggers population-control RR) is rare for typical
-    albedos, and every width stays lane-aligned.
+    albedos, and every width stays lane-aligned. Cut depths/widths follow
+    the measured occupancy decay on the flagship (2M-lane chunk: 11%
+    alive at depth+3, ~1% at depth+9, ~0.05% at depth+15): the previous,
+    laxer plan left stages running 20-40 bounces at 131k/32k widths with
+    ~1e3 live lanes — pure waste.
     """
     def cap(div):
         return max(4096, (n // div + 255) // 256 * 256)
@@ -314,9 +322,9 @@ def _stage_plan(n: int, settings: RenderSettings):
     plan = []
     cuts = [
         (n, 0, min(d + 3, mb)),
-        (cap(4), min(d + 3, mb), min(d + 15, mb)),
-        (cap(16), min(d + 15, mb), min(d + 35, mb)),
-        (cap(64), min(d + 35, mb), mb),
+        (cap(8), min(d + 3, mb), min(d + 9, mb)),
+        (cap(64), min(d + 9, mb), min(d + 19, mb)),
+        (4096, min(d + 19, mb), mb),
     ]
     for w, b0, b1 in cuts:
         if b1 > b0:
@@ -347,48 +355,38 @@ def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
     a = s[-1]
     af = a.astype(jnp.float32)
 
-    arrs = (state.o, state.d, state.throughput, state.lane,
-            state.alive.astype(jnp.int32))
+    # Everything is GATHER-formulated: TPU scatter measured ~7x slower than
+    # gather at wavefront widths (223 vs 30 ms at 2M lanes), so the only
+    # scatter here is the 1-column rank->index inversion. Slot 0 absorbs
+    # dead lanes' writes (unused: live ranks start at 1).
+    rank_pos = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(state.alive, s, 0)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
 
-    def keep_all(_):
-        # dest = rank-1 for live lanes; dead lanes dropped (index width).
-        dest = jnp.where(state.alive, s - 1, width)
+    overflow = a > width
+    j = jnp.arange(width, dtype=jnp.int32)
+    # No overflow: slot j <- the (j+1)-th live lane (prefix compaction).
+    # Overflow: slot j <- the ceil((j+u)*a/width)-th live lane (systematic
+    # resampling; marginal keep prob width/a, exactly width survivors).
+    u = rng.uniform(seed, jnp.uint32(0x5EED5EED), ctr)
+    g = (j.astype(jnp.float32) + u) * (af / jnp.float32(width))
+    r_over = jnp.ceil(g).astype(jnp.int32)
+    r = jnp.where(overflow, r_over, j + 1)
+    r = jnp.clip(r, 1, jnp.maximum(a, 1))
+    src = rank_pos[r]
 
-        def scat(arr):
-            out_shape = (width,) + arr.shape[1:]
-            return jnp.zeros(out_shape, arr.dtype).at[dest].set(
-                arr, mode="drop"
-            )
-
-        return tuple(scat(x) for x in arrs) + (jnp.float32(1.0),)
-
-    def resample(_):
-        # rank -> source-index lookup (scatter), then gather the width
-        # jittered-grid ranks. Slot 0 absorbs dead lanes' writes (unused:
-        # live ranks start at 1).
-        rank_pos = jnp.zeros((n + 1,), jnp.int32).at[
-            jnp.where(state.alive, s, 0)
-        ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        u = rng.uniform(seed, jnp.uint32(0x5EED5EED), ctr)
-        g = (jnp.arange(width, dtype=jnp.float32) + u) * (af / width)
-        r = jnp.clip(jnp.ceil(g).astype(jnp.int32), 1, a)
-        src = rank_pos[r]
-        return tuple(jnp.take(x, src, axis=0) for x in arrs) + (
-            af / jnp.float32(width),
-        )
-
-    o, d, thr, lane, alive_i, scale = jax.lax.cond(
-        a > width, resample, keep_all, operand=None
-    )
+    take = lambda arr: jnp.take(arr, src, axis=0)
+    alive = jnp.where(overflow, jnp.bool_(True), j < a) & (a > 0)
+    scale = jnp.maximum(af / jnp.float32(width), 1.0)
     return PathState(
         bounce=state.bounce,
-        o=o,
-        d=d,
-        throughput=thr * scale,
+        o=take(state.o),
+        d=take(state.d),
+        throughput=take(state.throughput) * scale,
         accum=jnp.zeros((width, 3), state.accum.dtype),
-        alive=alive_i > 0,
+        alive=alive,
         rays_traced=state.rays_traced,
-        lane=lane,
+        lane=take(state.lane),
     )
 
 

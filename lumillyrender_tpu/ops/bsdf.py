@@ -165,9 +165,19 @@ def rr_weight(m: GatheredMaterial):
     return jnp.max(m.color, axis=-1)
 
 
-def coef(m: GatheredMaterial, out_, n, distance):
+_ALL_TYPES = (MAT_LAMBERT, MAT_PHONG, MAT_BLINN_PHONG, MAT_GGX,
+              MAT_REFRACTION)
+
+
+def coef(m: GatheredMaterial, out_, n, distance, present=None):
     """Radiance coefficient: Beer-Lambert absorption when exiting a
-    refractive medium (`ideal_refraction.rs:106-113`); 1 otherwise."""
+    refractive medium (`ideal_refraction.rs:106-113`); 1 otherwise.
+
+    `present` (static tuple of type ids in the scene's material table, or
+    None = all) prunes the branch entirely for scenes without refraction.
+    """
+    if present is not None and MAT_REFRACTION not in present:
+        return jnp.ones(out_.shape[:-1] + (3,), out_.dtype)
     exiting = vec.dot(out_, n) < 0.0
     absorb = jnp.exp(
         -(1.0 - m.color) * (m.absorbtance * distance)[..., None]
@@ -181,67 +191,85 @@ def coef(m: GatheredMaterial, out_, n, distance):
 # ---------------------------------------------------------------------------
 
 
-def eval_brdf(m: GatheredMaterial, out_, in_, n, pos):
+def eval_brdf(m: GatheredMaterial, out_, in_, n, pos, present=None):
     """f(out, in) per lane -> (N,3). `n` is the raw geometric normal; each
     family computes its own orienting normal (`scene.rs:87` passes i.normal,
-    except NEE which pre-orients — the caller chooses)."""
+    except NEE which pre-orients — the caller chooses).
+
+    `present` (static tuple of material type ids occurring in the scene's
+    table, None = all) statically prunes absent families: an all-Lambert
+    scene skips the Phong/Blinn/GGX/Fresnel math — and its transcendentals
+    — on every lane of every bounce.
+    """
+    present = _ALL_TYPES if present is None else tuple(present)
     on = vec.orienting_normal(out_, n)
     i_dot_on = vec.dot(in_, on)
     front = i_dot_on > 0.0
-
-    # Lambert: albedo * checker(x, z) / pi (`lambert.rs:32-35`).
-    f_lambert = (
-        m.color * checker(pos[..., 0], pos[..., 2])[..., None] / PI
-    )
-
-    # Phong: rho (a+2)/(2pi) (r.in)^a (`phong.rs:37-45`).
-    r = vec.reflect(out_, on)
-    cos_ph = vec.dot(r, in_)
-    f_phong = m.color * (
-        (m.alpha + 2.0) / (2.0 * PI) * _pow_clamped(cos_ph, m.alpha)
-    )[..., None]
-    f_phong = jnp.where(front[..., None], f_phong, 0.0)
-
-    # Blinn-Phong (`blinn_phong.rs:37-47`).
-    h = vec.safe_normalize(in_ + out_)
-    cos_bl = vec.dot(h, on)
-    a = m.alpha
-    f_blinn = m.color * (
-        (a + 2.0) * (a + 4.0)
-        / (8.0 * PI * (jnp.exp2(-a / 2.0) + a))
-        * _pow_clamped(cos_bl, a)
-    )[..., None]
-    f_blinn = jnp.where(front[..., None], f_blinn, 0.0)
-
-    # GGX Torrance-Sparrow (`ggx.rs:71-85`).
-    a2 = _ggx_alpha(m.alpha)
-    fr_s = _schlick_f0(m.ior) + (1.0 - _schlick_f0(m.ior)) * (
-        1.0 - vec.dot(in_, h)
-    ) ** 5
-    g = _ggx_g1(in_, on, a2) * _ggx_g1(out_, on, a2)
-    d_ndf = _ggx_ndf(h, on, a2)
-    denom = 4.0 * i_dot_on * vec.dot(out_, on)
-    f_ggx = m.color * (fr_s * g * d_ndf / jnp.where(denom != 0.0, denom, 1.0))[..., None]
-    f_ggx = jnp.where(front[..., None], f_ggx, 0.0)
-
-    # Ideal refraction: delta weights / (in . n) with radiance compression
-    # on transmission (`ideal_refraction.rs:39-66`).
-    from_ior, to_ior = _ior_pair(out_, n, m.ior)
-    eta = from_ior / to_ior
-    refr, valid = vec.refract(out_, on, eta)
-    fr = _fresnel_exact(from_ior, to_ior, out_, refr, on)
-    i_dot_n = vec.dot(in_, n)
-    inv_idn = 1.0 / jnp.where(i_dot_n != 0.0, i_dot_n, 1.0)
-    ft = (1.0 - fr) * (to_ior / from_ior) ** 2
-    w_refl = jnp.where(i_dot_on > 0.0, fr, ft)
-    f_refr = m.color * jnp.where(valid, w_refl, 1.0)[..., None] * inv_idn[..., None]
-
     t = m.type_id[..., None]
-    out = jnp.where(t == MAT_LAMBERT, f_lambert, 0.0)
-    out = jnp.where(t == MAT_PHONG, f_phong, out)
-    out = jnp.where(t == MAT_BLINN_PHONG, f_blinn, out)
-    out = jnp.where(t == MAT_GGX, f_ggx, out)
-    out = jnp.where(t == MAT_REFRACTION, f_refr, out)
+    out = jnp.zeros(out_.shape[:-1] + (3,), out_.dtype)
+    need_h = MAT_BLINN_PHONG in present or MAT_GGX in present
+    h = vec.safe_normalize(in_ + out_) if need_h else None
+
+    if MAT_LAMBERT in present:
+        # Lambert: albedo * checker(x, z) / pi (`lambert.rs:32-35`).
+        f_lambert = (
+            m.color * checker(pos[..., 0], pos[..., 2])[..., None] / PI
+        )
+        out = jnp.where(t == MAT_LAMBERT, f_lambert, out)
+
+    if MAT_PHONG in present:
+        # Phong: rho (a+2)/(2pi) (r.in)^a (`phong.rs:37-45`).
+        r = vec.reflect(out_, on)
+        cos_ph = vec.dot(r, in_)
+        f_phong = m.color * (
+            (m.alpha + 2.0) / (2.0 * PI) * _pow_clamped(cos_ph, m.alpha)
+        )[..., None]
+        f_phong = jnp.where(front[..., None], f_phong, 0.0)
+        out = jnp.where(t == MAT_PHONG, f_phong, out)
+
+    if MAT_BLINN_PHONG in present:
+        # Blinn-Phong (`blinn_phong.rs:37-47`).
+        cos_bl = vec.dot(h, on)
+        a = m.alpha
+        f_blinn = m.color * (
+            (a + 2.0) * (a + 4.0)
+            / (8.0 * PI * (jnp.exp2(-a / 2.0) + a))
+            * _pow_clamped(cos_bl, a)
+        )[..., None]
+        f_blinn = jnp.where(front[..., None], f_blinn, 0.0)
+        out = jnp.where(t == MAT_BLINN_PHONG, f_blinn, out)
+
+    if MAT_GGX in present:
+        # GGX Torrance-Sparrow (`ggx.rs:71-85`).
+        a2 = _ggx_alpha(m.alpha)
+        fr_s = _schlick_f0(m.ior) + (1.0 - _schlick_f0(m.ior)) * (
+            1.0 - vec.dot(in_, h)
+        ) ** 5
+        g = _ggx_g1(in_, on, a2) * _ggx_g1(out_, on, a2)
+        d_ndf = _ggx_ndf(h, on, a2)
+        denom = 4.0 * i_dot_on * vec.dot(out_, on)
+        f_ggx = m.color * (
+            fr_s * g * d_ndf / jnp.where(denom != 0.0, denom, 1.0)
+        )[..., None]
+        f_ggx = jnp.where(front[..., None], f_ggx, 0.0)
+        out = jnp.where(t == MAT_GGX, f_ggx, out)
+
+    if MAT_REFRACTION in present:
+        # Ideal refraction: delta weights / (in . n) with radiance
+        # compression on transmission (`ideal_refraction.rs:39-66`).
+        from_ior, to_ior = _ior_pair(out_, n, m.ior)
+        eta = from_ior / to_ior
+        refr, valid = vec.refract(out_, on, eta)
+        fr = _fresnel_exact(from_ior, to_ior, out_, refr, on)
+        i_dot_n = vec.dot(in_, n)
+        inv_idn = 1.0 / jnp.where(i_dot_n != 0.0, i_dot_n, 1.0)
+        ft = (1.0 - fr) * (to_ior / from_ior) ** 2
+        w_refl = jnp.where(i_dot_on > 0.0, fr, ft)
+        f_refr = (
+            m.color * jnp.where(valid, w_refl, 1.0)[..., None]
+            * inv_idn[..., None]
+        )
+        out = jnp.where(t == MAT_REFRACTION, f_refr, out)
     return out
 
 
@@ -255,90 +283,110 @@ class BsdfSample(NamedTuple):
     pdf: jax.Array  # (N,)
 
 
-def sample(m: GatheredMaterial, out_, n, r1u, r2u, r3u) -> BsdfSample:
+def sample(m: GatheredMaterial, out_, n, r1u, r2u, r3u,
+           present=None) -> BsdfSample:
     """Importance-sample the per-lane BSDF.
 
     r1u/r2u: lobe uniforms; r3u: refraction reflect/transmit roulette.
-    Mirrors `material/*.rs sample()` exactly per family.
+    Mirrors `material/*.rs sample()` exactly per family. `present` prunes
+    absent families statically (see eval_brdf).
     """
+    present = _ALL_TYPES if present is None else tuple(present)
     on = vec.orienting_normal(out_, n)
-    u, v = vec.orthonormal_basis(on)
-    phi = 2.0 * PI * r1u
-    cp, sp = jnp.cos(phi), jnp.sin(phi)
-
-    # Lambert: cosine hemisphere (`util.rs:87-96`, `lambert.rs:37-55`).
-    r2s = jnp.sqrt(r2u)
-    d_lam = (
-        u * (cp * r2s)[..., None]
-        + v * (sp * r2s)[..., None]
-        + on * jnp.sqrt(1.0 - r2u)[..., None]
-    )
-    pdf_lam = vec.dot(d_lam, n) / PI  # geometric n (`lambert.rs:47-50`)
-
-    # Phong: lobe around the mirror direction (`phong.rs:47-68`).
-    a = m.alpha
-    r = vec.reflect(out_, on)
-    ur, vr = vec.orthonormal_basis(r)
-    t_ph = jnp.power(r2u, 1.0 / (a + 2.0))
-    ts_ph = jnp.sqrt(jnp.maximum(1.0 - t_ph * t_ph, 0.0))
-    d_ph = (
-        ur * (cp * ts_ph)[..., None]
-        + vr * (sp * ts_ph)[..., None]
-        + r * t_ph[..., None]
-    )
-    cos_ph = vec.dot(r, d_ph)
-    pdf_ph = (a + 2.0) / (2.0 * PI) * _pow_clamped(cos_ph, a)
-
-    # Blinn-Phong: half-vector around the normal, then reflect; pdf left in
-    # half-vector measure (quirk #15, `blinn_phong.rs:49-72`).
-    t_bl = jnp.power(r2u, 1.0 / (a + 2.0))
-    ts_bl = jnp.sqrt(jnp.maximum(1.0 - t_bl * t_bl, 0.0))
-    h_bl = (
-        u * (cp * ts_bl)[..., None]
-        + v * (sp * ts_bl)[..., None]
-        + on * t_bl[..., None]
-    )
-    d_bl = h_bl * (2.0 * vec.dot(out_, h_bl))[..., None] - out_
-    pdf_bl = (a + 2.0) / (2.0 * PI) * _pow_clamped(vec.dot(on, h_bl), a)
-
-    # GGX: NDF-sampled half vector (`ggx.rs:87-113`).
-    a2 = _ggx_alpha(m.alpha)
-    tan = a2 * jnp.sqrt(r2u / jnp.maximum(1.0 - r2u, 1e-12))
-    x = 1.0 + tan * tan
-    cos_g = 1.0 / jnp.sqrt(x)
-    sin_g = tan / jnp.sqrt(x)
-    h_g = (
-        u * (cp * sin_g)[..., None]
-        + v * (sp * sin_g)[..., None]
-        + on * cos_g[..., None]
-    )
-    o_h = vec.dot(out_, h_g)
-    d_g = h_g * (2.0 * o_h)[..., None] - out_
-    pdf_g = _ggx_ndf(h_g, on, a2) * vec.dot(h_g, on) / (4.0 * jnp.where(o_h != 0.0, o_h, 1.0))
-
-    # Ideal refraction: Fresnel roulette (`ideal_refraction.rs:68-104`).
-    from_ior, to_ior = _ior_pair(out_, n, m.ior)
-    refr, valid = vec.refract(out_, on, from_ior / to_ior)
-    fr = _fresnel_exact(from_ior, to_ior, out_, refr, on)
-    refl_dir = vec.reflect(out_, on)
-    choose_refl = r3u < fr
-    d_rf = jnp.where(
-        valid[..., None],
-        jnp.where(choose_refl[..., None], refl_dir, refr),
-        refl_dir,
-    )
-    pdf_rf = jnp.where(valid, jnp.where(choose_refl, fr, 1.0 - fr), 1.0)
-
     t = m.type_id
     t3 = t[..., None]
-    d = jnp.where(t3 == MAT_LAMBERT, d_lam, 0.0)
-    d = jnp.where(t3 == MAT_PHONG, d_ph, d)
-    d = jnp.where(t3 == MAT_BLINN_PHONG, d_bl, d)
-    d = jnp.where(t3 == MAT_GGX, d_g, d)
-    d = jnp.where(t3 == MAT_REFRACTION, d_rf, d)
-    pdf = jnp.where(t == MAT_LAMBERT, pdf_lam, 0.0)
-    pdf = jnp.where(t == MAT_PHONG, pdf_ph, pdf)
-    pdf = jnp.where(t == MAT_BLINN_PHONG, pdf_bl, pdf)
-    pdf = jnp.where(t == MAT_GGX, pdf_g, pdf)
-    pdf = jnp.where(t == MAT_REFRACTION, pdf_rf, pdf)
+    d = jnp.zeros(out_.shape, out_.dtype)
+    pdf = jnp.zeros(t.shape, out_.dtype)
+
+    need_basis = any(
+        k in present for k in (MAT_LAMBERT, MAT_BLINN_PHONG, MAT_GGX)
+    )
+    if need_basis:
+        u, v = vec.orthonormal_basis(on)
+    if present != (MAT_REFRACTION,):
+        phi = 2.0 * PI * r1u
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+
+    if MAT_LAMBERT in present:
+        # Lambert: cosine hemisphere (`util.rs:87-96`, `lambert.rs:37-55`).
+        r2s = jnp.sqrt(r2u)
+        d_lam = (
+            u * (cp * r2s)[..., None]
+            + v * (sp * r2s)[..., None]
+            + on * jnp.sqrt(1.0 - r2u)[..., None]
+        )
+        pdf_lam = vec.dot(d_lam, n) / PI  # geometric n (`lambert.rs:47-50`)
+        d = jnp.where(t3 == MAT_LAMBERT, d_lam, d)
+        pdf = jnp.where(t == MAT_LAMBERT, pdf_lam, pdf)
+
+    if MAT_PHONG in present:
+        # Phong: lobe around the mirror direction (`phong.rs:47-68`).
+        a = m.alpha
+        r = vec.reflect(out_, on)
+        ur, vr = vec.orthonormal_basis(r)
+        t_ph = jnp.power(r2u, 1.0 / (a + 2.0))
+        ts_ph = jnp.sqrt(jnp.maximum(1.0 - t_ph * t_ph, 0.0))
+        d_ph = (
+            ur * (cp * ts_ph)[..., None]
+            + vr * (sp * ts_ph)[..., None]
+            + r * t_ph[..., None]
+        )
+        cos_ph = vec.dot(r, d_ph)
+        pdf_ph = (a + 2.0) / (2.0 * PI) * _pow_clamped(cos_ph, a)
+        d = jnp.where(t3 == MAT_PHONG, d_ph, d)
+        pdf = jnp.where(t == MAT_PHONG, pdf_ph, pdf)
+
+    if MAT_BLINN_PHONG in present:
+        # Blinn-Phong: half-vector around the normal, then reflect; pdf in
+        # half-vector measure (quirk #15, `blinn_phong.rs:49-72`).
+        a = m.alpha
+        t_bl = jnp.power(r2u, 1.0 / (a + 2.0))
+        ts_bl = jnp.sqrt(jnp.maximum(1.0 - t_bl * t_bl, 0.0))
+        h_bl = (
+            u * (cp * ts_bl)[..., None]
+            + v * (sp * ts_bl)[..., None]
+            + on * t_bl[..., None]
+        )
+        d_bl = h_bl * (2.0 * vec.dot(out_, h_bl))[..., None] - out_
+        pdf_bl = (a + 2.0) / (2.0 * PI) * _pow_clamped(vec.dot(on, h_bl), a)
+        d = jnp.where(t3 == MAT_BLINN_PHONG, d_bl, d)
+        pdf = jnp.where(t == MAT_BLINN_PHONG, pdf_bl, pdf)
+
+    if MAT_GGX in present:
+        # GGX: NDF-sampled half vector (`ggx.rs:87-113`).
+        a2 = _ggx_alpha(m.alpha)
+        tan = a2 * jnp.sqrt(r2u / jnp.maximum(1.0 - r2u, 1e-12))
+        x = 1.0 + tan * tan
+        cos_g = 1.0 / jnp.sqrt(x)
+        sin_g = tan / jnp.sqrt(x)
+        h_g = (
+            u * (cp * sin_g)[..., None]
+            + v * (sp * sin_g)[..., None]
+            + on * cos_g[..., None]
+        )
+        o_h = vec.dot(out_, h_g)
+        d_g = h_g * (2.0 * o_h)[..., None] - out_
+        pdf_g = (
+            _ggx_ndf(h_g, on, a2) * vec.dot(h_g, on)
+            / (4.0 * jnp.where(o_h != 0.0, o_h, 1.0))
+        )
+        d = jnp.where(t3 == MAT_GGX, d_g, d)
+        pdf = jnp.where(t == MAT_GGX, pdf_g, pdf)
+
+    if MAT_REFRACTION in present:
+        # Ideal refraction: Fresnel roulette (`ideal_refraction.rs:68-104`).
+        from_ior, to_ior = _ior_pair(out_, n, m.ior)
+        refr, valid = vec.refract(out_, on, from_ior / to_ior)
+        fr = _fresnel_exact(from_ior, to_ior, out_, refr, on)
+        refl_dir = vec.reflect(out_, on)
+        choose_refl = r3u < fr
+        d_rf = jnp.where(
+            valid[..., None],
+            jnp.where(choose_refl[..., None], refl_dir, refr),
+            refl_dir,
+        )
+        pdf_rf = jnp.where(valid, jnp.where(choose_refl, fr, 1.0 - fr), 1.0)
+        d = jnp.where(t3 == MAT_REFRACTION, d_rf, d)
+        pdf = jnp.where(t == MAT_REFRACTION, pdf_rf, pdf)
+
     return BsdfSample(direction=d, pdf=pdf)

@@ -380,6 +380,9 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
         camera_kind=cam_kind,
         sky_kind=sky_kind,
         has_lights=total_area > 0.0,
+        mat_types=tuple(
+            sorted(int(t) for t in np.unique(material_table.type_id))
+        ),
     )
 
     stats = {

@@ -180,6 +180,10 @@ class RenderSettings:
     # "pop-rr" = staged compaction with population-control Russian roulette
     # on capacity overflow (unbiased); "off" = plain masked loop.
     compaction: str = "pop-rr"
+    # Material type ids present in the scene's table (static): the BSDF
+    # kernels prune absent families' branches entirely (ops/bsdf.py). None
+    # = assume all five.
+    mat_types: tuple | None = None
 
 
 for _cls in (MaterialTable, Geometry, LightTable, Bvh, SkyData, CameraData, SceneData):

@@ -149,7 +149,7 @@ def main():
     ]
     failures = []
     for case, (o, d) in cases.items():
-        hb, sb = jax.jit(intersect_shade_brute)(o, d)
+        hb, sb = jax.jit(lambda o_, d_: intersect_shade_brute(o_, d_, geom))(o, d)
         tb = np.asarray(hb.t)
         scale = max(float(np.abs(tb[np.isfinite(tb)]).max()), 1.0)
         tol = 1e-4 * scale
