@@ -76,6 +76,14 @@ def _pack_kernel_tables(node_min, node_max, node_miss, node_leaf,
     pk_pm[:, :k] = blk_prim
     pk_pm[:, k : 2 * k] = blk_mat
     pk_pm = pk_pm.reshape(l * rpm, 128)
+    # Tail padding for the HBM-streaming kernel: its per-leaf DMA copies a
+    # sublane extent rounded UP to a multiple of 8 (the only extents the
+    # DMA engine accepts besides 1; offsets may be unaligned), so the last
+    # block's window may read up to 7 rows past its end.
+    pk_blk = np.concatenate(
+        [pk_blk, np.zeros((8, 128), np.float32)], axis=0
+    )
+    pk_pm = np.concatenate([pk_pm, np.full((8, 128), -1, np.int32)], axis=0)
     return dict(pk_nodes=pk_nodes, pk_blk=pk_blk, pk_pm=pk_pm)
 
 

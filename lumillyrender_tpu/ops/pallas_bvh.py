@@ -271,22 +271,29 @@ def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
 
     mrow, mlane = divmod(k, LANE)
 
+    # DMA sublane extents must be 1 or a multiple of 8 on this backend
+    # (anything else faults the TPU worker — probed empirically); offsets
+    # may be unaligned. Copy an 8-rounded window from the block's exact
+    # offset; the tables carry 8 rows of tail padding (accel/pack.py).
+    rpb8 = (rpb + 7) // 8 * 8
+    rpm8 = (rpm + 7) // 8 * 8
+
     def start_dma(leaf):
         pltpu.make_async_copy(
-            blk_hbm.at[pl.ds(leaf * rpb, rpb)], blk_buf, sem_b
+            blk_hbm.at[pl.ds(leaf * rpb, rpb8)], blk_buf, sem_b
         ).start()
         pltpu.make_async_copy(
-            pm_hbm.at[pl.ds(leaf * rpm, rpm)], pm_buf, sem_p
+            pm_hbm.at[pl.ds(leaf * rpm, rpm8)], pm_buf, sem_p
         ).start()
 
     def wait_dma():
         # Reconstructed descriptors: wait() only needs the semaphore and
         # the copy size, which are identical for every leaf.
         pltpu.make_async_copy(
-            blk_hbm.at[pl.ds(0, rpb)], blk_buf, sem_b
+            blk_hbm.at[pl.ds(0, rpb8)], blk_buf, sem_b
         ).wait()
         pltpu.make_async_copy(
-            pm_hbm.at[pl.ds(0, rpm)], pm_buf, sem_p
+            pm_hbm.at[pl.ds(0, rpm8)], pm_buf, sem_p
         ).wait()
 
     def test_buf():
@@ -365,10 +372,12 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, stop_2d, *, k, rpb,
         kernel = functools.partial(
             _kernel_streamed, k=k, rpb=rpb, rpm=rpm, want_shade=want_shade
         )
-        blk_spec = pm_spec = pl.BlockSpec(memory_space=pl.ANY)
+        # Explicit HBM (NOT pl.ANY): sliced DMA from an ANY-space input
+        # faults this backend's TPU worker; from HBM it works.
+        blk_spec = pm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch = [
-            pltpu.VMEM((rpb, LANE), jnp.float32),
-            pltpu.VMEM((rpm, LANE), jnp.int32),
+            pltpu.VMEM(((rpb + 7) // 8 * 8, LANE), jnp.float32),
+            pltpu.VMEM(((rpm + 7) // 8 * 8, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]

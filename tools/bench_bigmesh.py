@@ -98,9 +98,15 @@ def main():
     n = args.rays
     rng = np.random.default_rng(1)
     eye = np.array([0.0, 8.0, 30.0], np.float32)
-    tgt = (rng.random((n, 3)).astype(np.float32) - 0.5) * np.array(
-        [20, 4, 20], np.float32
-    )
+    # Coherent = RASTER-ordered camera rays (consecutive rays hit adjacent
+    # points, so each 1024-ray packet covers a tight image tile — the
+    # union-traversal packet kernel lives or dies by this ordering).
+    side = int(np.sqrt(n))
+    jx = (np.arange(n) % side) / side
+    jz = (np.arange(n) // side) / side
+    tgt = np.stack(
+        [20 * (jx - 0.5), np.zeros(n), 20 * (jz - 0.5)], axis=1
+    ).astype(np.float32)
     d_coh = tgt - eye
     d_coh /= np.linalg.norm(d_coh, axis=1, keepdims=True)
     o_coh = np.broadcast_to(eye, (n, 3)).copy()
