@@ -94,11 +94,25 @@ def render_diff(
         sky=params.sky,
     )
 
+    from ..integrator.render import tile_decode
+
     w, h = settings.width, settings.height
     n = w * h * spp
     lane = jnp.arange(n, dtype=jnp.uint32)
-    px = (lane % w).astype(jnp.int32)
-    py = ((lane // w) % h).astype(jnp.int32)
+    decode = tile_decode(settings)
+    if decode is None:
+        px = (lane % w).astype(jnp.int32)
+        py = ((lane // w) % h).astype(jnp.int32)
+        pixel_fn = None
+    else:
+        px, py = decode(lane % jnp.uint32(w * h))
+
+        def pixel_fn(lane_vals):
+            px_, py_ = decode(
+                (lane_vals % jnp.uint32(w * h)).astype(jnp.int32)
+            )
+            return py_ * w + px_
+
     if sample_offsets is not None:
         sample_idx = sample_offsets[(lane // (w * h)).astype(jnp.int32)]
         lane = lane % jnp.uint32(w * h) + sample_idx.astype(jnp.uint32) * jnp.uint32(w * h)
@@ -123,6 +137,7 @@ def render_diff(
         n_pixels=w * h,
         differentiable=True,
         mats_eval=params.materials,
+        pixel_fn=pixel_fn,
     )
     film = film_flat.reshape(h, w, 3) / jnp.float32(spp)
     if with_rays:

@@ -24,6 +24,44 @@ from ..scene.data import RenderSettings, SceneData
 from .wavefront import trace_film
 
 
+TILE = 32  # max camera-lane tile side (packet coherence for BVH kernels)
+
+
+def _pow2_tile(dim: int) -> int:
+    t = 1
+    while t < TILE and dim % (t * 2) == 0:
+        t *= 2
+    return t
+
+
+def tile_decode(settings: RenderSettings):
+    """Lane-within-image -> (px, py) mapping, or None for raster order.
+
+    Consecutive camera lanes form tw x th pixel tiles (largest powers of 2
+    dividing the film dims, up to 32): a 1024-ray packet then covers a
+    compact image region instead of 4+ full rows, which tightens the
+    Pallas packet kernel's traversal union — measured 6.1x on the 82k-tri
+    mesh (tools/probe_tile_order.py: 40.8 vs 6.6 M rays/s at 512^2).
+    Films whose dims don't yield at least an 8x8 tile keep raster order
+    (tiny/odd films — also what the committed goldens pin).
+    """
+    w, h = settings.width, settings.height
+    tw, th = _pow2_tile(w), _pow2_tile(h)
+    if tw * th < 64:
+        return None
+
+    def decode(j):
+        j = j.astype(jnp.int32)
+        tiles_per_row = w // tw
+        tile = j // (tw * th)
+        within = j % (tw * th)
+        px = (tile % tiles_per_row) * tw + within % tw
+        py = (tile // tiles_per_row) * th + within // tw
+        return px, py
+
+    return decode
+
+
 def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
                       sample_offset, spp_chunk: int):
     """Render `spp_chunk` samples for every pixel; returns (film_sum, rays).
@@ -36,8 +74,12 @@ def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
     # Lane ids must be globally unique across chunks for RNG decorrelation.
     glane = lane + jnp.asarray(sample_offset, jnp.uint32) * jnp.uint32(w * h)
 
-    px = (lane % w).astype(jnp.int32)
-    py = ((lane // w) % h).astype(jnp.int32)
+    decode = tile_decode(settings)
+    if decode is None:
+        px = (lane % w).astype(jnp.int32)
+        py = ((lane // w) % h).astype(jnp.int32)
+    else:
+        px, py = decode(lane % jnp.uint32(w * h))
 
     # High counter so it never collides with bounce-loop slots.
     u, v, u2, v2 = rng.uniform4(seed, glane, 0x40000000)
@@ -45,18 +87,26 @@ def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
         scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
     )
 
+    pixel_fn = None
+    if decode is not None:
+        def pixel_fn(lane_vals):
+            px_, py_ = decode(
+                (lane_vals % jnp.uint32(w * h)).astype(jnp.int32)
+            )
+            return py_ * w + px_
+
     if settings.integrator in ("normal", "depth"):
         from .wavefront import aov
 
         val = aov(scene, settings, o, d)
-        film = jnp.zeros((w * h, 3), val.dtype).at[
-            (glane % jnp.uint32(w * h)).astype(jnp.int32)
-        ].add(val)
+        pix = (py * w + px).astype(jnp.int32)
+        film = jnp.zeros((w * h, 3), val.dtype).at[pix].add(val)
         return film.reshape(h, w, 3), jnp.float32(n)
 
     weight = g * scene.camera.sensor_sensitivity / pdf
     film_flat, rays = trace_film(
-        scene, settings, o, d, glane, seed, weight, n_pixels=w * h
+        scene, settings, o, d, glane, seed, weight, n_pixels=w * h,
+        pixel_fn=pixel_fn,
     )
     return film_flat.reshape(h, w, 3), rays + jnp.float32(n)  # + camera rays
 

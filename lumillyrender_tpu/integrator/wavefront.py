@@ -392,7 +392,7 @@ def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
 
 def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
                weight0, n_pixels: int, differentiable: bool = False,
-               mats_eval=None, lanes_ordered: bool = True):
+               mats_eval=None, lanes_ordered: bool = True, pixel_fn=None):
     """Trace a wavefront and accumulate directly into a flat pixel buffer.
 
     `weight0` (N,) is the camera estimator weight (g * sensitivity / pdf),
@@ -417,6 +417,10 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
     `lanes_ordered` declares that lane ids arrived in arange order (true
     for both render drivers), letting the FIRST bank be a reshape-sum
     reduction instead of a wavefront-sized scatter-add.
+
+    `pixel_fn(lane) -> pixel index` overrides the default `lane % n_pixels`
+    mapping — the drivers pass the tile decode when camera lanes are issued
+    tile-ordered (integrator/render.py:tile_decode).
     """
     n = o.shape[0]
     lane = jnp.asarray(lane, jnp.uint32)
@@ -433,11 +437,20 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
     step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval)
     film = jnp.zeros((n_pixels, 3), o.dtype)
 
+    def to_pixel(lane_vals):
+        if pixel_fn is not None:
+            return pixel_fn(lane_vals).astype(jnp.int32)
+        return (lane_vals % jnp.uint32(n_pixels)).astype(jnp.int32)
+
     def bank(film, st: PathState, ordered: bool = False):
         if ordered and st.accum.shape[0] % n_pixels == 0:
-            return film + st.accum.reshape(-1, n_pixels, 3).sum(axis=0)
-        pix = (st.lane % jnp.uint32(n_pixels)).astype(jnp.int32)
-        return film.at[pix].add(st.accum)
+            by_lane = st.accum.reshape(-1, n_pixels, 3).sum(axis=0)
+            if pixel_fn is None:
+                return film + by_lane
+            # Tiled lane order: one n_pixels-sized permuted scatter-add.
+            perm = to_pixel(jnp.arange(n_pixels, dtype=jnp.uint32))
+            return film.at[perm].add(by_lane)
+        return film.at[to_pixel(st.lane)].add(st.accum)
 
     def run_stage(state, b1: int, n_steps: int):
         if differentiable:

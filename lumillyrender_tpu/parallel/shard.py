@@ -84,12 +84,26 @@ def put_sharded(np_array: np.ndarray, sharding: NamedSharding):
 def _chunk_body(scene: SceneData, settings: RenderSettings, seed, offsets):
     """Render one sample-batch per device. offsets: (spp_local,) int32 of
     global sample indices owned by this shard."""
+    from ..integrator.render import tile_decode
+
     w, h = settings.width, settings.height
     spp_local = offsets.shape[0]
     n = w * h * spp_local
     lane = jnp.arange(n, dtype=jnp.uint32)
-    px = (lane % w).astype(jnp.int32)
-    py = ((lane // w) % h).astype(jnp.int32)
+    decode = tile_decode(settings)
+    if decode is None:
+        px = (lane % w).astype(jnp.int32)
+        py = ((lane // w) % h).astype(jnp.int32)
+        pixel_fn = None
+    else:
+        px, py = decode(lane % jnp.uint32(w * h))
+
+        def pixel_fn(lane_vals):
+            px_, py_ = decode(
+                (lane_vals % jnp.uint32(w * h)).astype(jnp.int32)
+            )
+            return py_ * w + px_
+
     sample_idx = offsets[(lane // (w * h)).astype(jnp.int32)]
     glane = lane % jnp.uint32(w * h) + sample_idx.astype(jnp.uint32) * jnp.uint32(w * h)
 
@@ -99,7 +113,8 @@ def _chunk_body(scene: SceneData, settings: RenderSettings, seed, offsets):
     )
     weight = g * scene.camera.sensor_sensitivity / pdf
     film_flat, rays = trace_film(
-        scene, settings, o, d, glane, seed, weight, n_pixels=w * h
+        scene, settings, o, d, glane, seed, weight, n_pixels=w * h,
+        pixel_fn=pixel_fn,
     )
     return film_flat.reshape(h, w, 3), rays + jnp.float32(n)
 

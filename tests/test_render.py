@@ -421,3 +421,41 @@ def test_compaction_matches_plain():
     )
     r_comp = render(c, seed=9)
     assert np.abs(r_plain.film - r_comp.film).max() < 1e-4
+
+
+def test_tiled_lane_order_white_furnace_exact():
+    """At 32-divisible resolutions camera lanes are issued TILE-ordered
+    (packet coherence for the BVH kernels). The lane->pixel relabeling must
+    not disturb the estimator: the white furnace identity stays exact."""
+    from lumillyrender_tpu.integrator import render as render_mod
+
+    c = furnace_scene(1.0)
+    c.settings = dataclasses.replace(c.settings, width=64, height=64)
+    assert render_mod.tile_decode(c.settings) is not None
+    r = render(c, seed=5)
+    assert np.abs(r.film - 1.0).max() < 1e-3
+
+
+def test_tiled_matches_raster_statistically(monkeypatch):
+    """Tiled vs raster lane order are different RNG-stream labelings of the
+    same estimator: per-image means must agree within MC standard error."""
+    from lumillyrender_tpu.integrator import render as render_mod
+
+    cfg = parse_config(
+        NEE_SCENE.replace("SPP", "16")
+        .replace("INTEGRATOR", "pt-direct")
+        .replace("resolution = [32, 32]", "resolution = [64, 64]")
+    )
+    c = compile_scene(cfg)
+    assert render_mod.tile_decode(c.settings) is not None
+
+    means_t, means_r = [], []
+    for s in range(12):
+        means_t.append(float(render(c, seed=50 + s).film.mean()))
+    monkeypatch.setattr(render_mod, "tile_decode", lambda s: None)
+    for s in range(12):
+        means_r.append(float(render(c, seed=150 + s).film.mean()))
+    t, r = np.array(means_t), np.array(means_r)
+    se = np.sqrt(t.var() / len(t) + r.var() / len(r))
+    z = abs(t.mean() - r.mean()) / max(se, 1e-12)
+    assert z < 4.0, (t.mean(), r.mean(), z)

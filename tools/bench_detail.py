@@ -66,38 +66,59 @@ def main() -> None:
         }
         print(f"{name}: {total/dt/1e6:.2f} Mrays/s (compile {compile_s:.0f}s)")
 
-    def bench_fwd_bwd(name, scene_file, width, height, spp, max_bounces=16, reps=3):
-        from lumillyrender_tpu.diff.render import film_and_grads, params_of
+    def bench_fwd_bwd(name, scene_file, width, height, spp, reps=3):
+        """Full train step (render + L2 loss + material/camera grads).
+        Rays counted with the SAME methodology as the forward rows: real
+        traced rays (camera + live bounce + NEE shadow), via
+        render_diff(with_rays=True)."""
+        from functools import partial
+
+        from lumillyrender_tpu.diff.render import params_of, render_diff
 
         compiled = compile_scene_file(REPO / "assets" / scene_file, spp=spp)
         settings = dataclasses.replace(
-            compiled.settings, width=width, height=height, max_bounces=max_bounces
+            compiled.settings, width=width, height=height
         )
         params = params_of(compiled.data)
         target = jnp.zeros((height, width, 3), jnp.float32)
+
+        @jax.jit
+        def train_step(scene, p, seed):
+            def loss_fn(pp):
+                film, rays = render_diff(
+                    scene, settings, pp, seed, spp, with_rays=True
+                )
+                return jnp.mean((film - target) ** 2), rays
+
+            (loss, rays), grads = jax.value_and_grad(
+                loss_fn, has_aux=True, allow_int=True
+            )(p)
+            gsum = sum(
+                jnp.sum(jnp.abs(g))
+                for g in jax.tree_util.tree_leaves(grads)
+                if g.dtype != jax.dtypes.float0
+            )
+            return loss + 0.0 * gsum, rays
+
         t0 = time.monotonic()
-        loss, film, grads = film_and_grads(
-            compiled.data, settings, params, target, 0, spp
-        )
+        loss, rays = train_step(compiled.data, params, 0)
         sync(loss)
         compile_s = time.monotonic() - t0
         t0 = time.monotonic()
+        total = 0.0
         for i in range(reps):
-            loss, film, grads = film_and_grads(
-                compiled.data, settings, params, target, 1 + i, spp
-            )
+            loss, rays = train_step(compiled.data, params, 1 + i)
+            total += float(rays)
         sync(loss)
         dt = time.monotonic() - t0
-        # Nominal rays for the fixed-depth scan: lanes * (bounces + NEE).
-        nee = 2 if settings.integrator == "pt-direct" else 1
-        rays = width * height * spp * max_bounces * nee * reps
         results[name] = {
-            "rays_per_s_nominal": rays / dt,
+            "rays_per_s": total / dt,
             "seconds_per_step": dt / reps,
             "lanes": width * height * spp,
             "compile_s": compile_s,
         }
-        print(f"{name}: {dt/reps*1000:.0f} ms/step ({rays/dt/1e6:.2f} nominal Mrays/s, compile {compile_s:.0f}s)")
+        print(f"{name}: {dt/reps*1000:.0f} ms/step "
+              f"({total/dt/1e6:.2f} Mrays/s, compile {compile_s:.0f}s)")
 
     bench_fwd("new_cbox_fwd_256", "new-cbox.toml", 256, 256, 32)
     bench_fwd("primitive_fwd_256", "primitive.toml", 256, 256, 32)
@@ -107,7 +128,7 @@ def main() -> None:
     # BASELINE config 5: IBL sky + obj meshes at BVH scale + thin lens +
     # NEE, hdr output (assets/welcome-geo.toml).
     bench_fwd("welcome_geo_fwd", "welcome-geo.toml", 256, 184, 8)
-    bench_fwd_bwd("new_cbox_fwdbwd_128", "new-cbox.toml", 128, 128, 4)
+    bench_fwd_bwd("new_cbox_fwdbwd_256", "new-cbox.toml", 256, 256, 4)
 
     out = REPO / "BENCH_DETAIL.json"
     out.write_text(json.dumps(results, indent=2))

@@ -35,9 +35,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=256 * 1024)
     ap.add_argument("--sizes", type=int, nargs="*",
-                    default=[128, 256, 512, 1024, 2048, 8192])
+                    default=[128, 512, 2048, 8192, 16384, 32768, 65536])
     ap.add_argument("--json", default=None)
-    ap.add_argument("--shape", choices=["surface", "soup"], default="surface")
+    ap.add_argument("--shape", choices=["surface", "soup", "blob"],
+                    default="blob")
     args = ap.parse_args()
 
     import jax
@@ -83,9 +84,61 @@ def main():
         p2 = np.concatenate([c, d_], 0)
         return p0, (p1 - p0), (p2 - p0)
 
+    def blob_tris(t):
+        """Subdivided lumpy icosphere — the same geometry family as the
+        committed bunny-substitute asset (tools/make_assets.py), i.e. a
+        smooth closed surface like real scene meshes. The displaced
+        UV-sphere 'surface' mode turned out unrepresentative (degenerate
+        pole fans wreck the SAH tree); this mode sets the threshold."""
+        s = max(0, int(round(np.log(max(t, 20) / 20) / np.log(4))))
+        phi_ = (1.0 + np.sqrt(5.0)) / 2.0
+        verts = np.array(
+            [(-1, phi_, 0), (1, phi_, 0), (-1, -phi_, 0), (1, -phi_, 0),
+             (0, -1, phi_), (0, 1, phi_), (0, -1, -phi_), (0, 1, -phi_),
+             (phi_, 0, -1), (phi_, 0, 1), (-phi_, 0, -1), (-phi_, 0, 1)],
+            dtype=np.float64)
+        verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+        faces = np.array(
+            [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+             (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+             (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+             (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)],
+            dtype=np.int64)
+        for _ in range(s):
+            edge_mid = {}
+            vlist = list(verts)
+
+            def mid(a, b):
+                key = (a, b) if a < b else (b, a)
+                if key not in edge_mid:
+                    m = vlist[a] + vlist[b]
+                    m = m / np.linalg.norm(m)
+                    edge_mid[key] = len(vlist)
+                    vlist.append(m)
+                return edge_mid[key]
+
+            nf = []
+            for a, b, c in faces:
+                ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+                nf += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+            verts = np.asarray(vlist)
+            faces = np.asarray(nf, dtype=np.int64)
+        x, y, z = verts[:, 0], verts[:, 1], verts[:, 2]
+        bump = (0.10 * np.sin(7 * x + 1.3) * np.cos(5 * y)
+                + 0.07 * np.sin(9 * z + 0.5) * np.cos(6 * x + 2.0)
+                + 0.05 * np.sin(11 * y + 4.0))
+        verts = (verts * (1.0 + bump)[:, None]).astype(np.float32)
+        p0 = verts[faces[:, 0]]
+        p1 = verts[faces[:, 1]]
+        p2 = verts[faces[:, 2]]
+        return p0, p1 - p0, p2 - p0
+
     results = {}
     for t in args.sizes:
-        if args.shape == "surface":
+        if args.shape == "blob":
+            p0, e1, e2 = blob_tris(t)
+            t = p0.shape[0]
+        elif args.shape == "surface":
             p0, e1, e2 = surface_tris(t)
             t = p0.shape[0]
         else:
