@@ -70,11 +70,14 @@ def main() -> None:
     film, rays = _render_chunk(scene, settings, 0, 0, SPP_CHUNK)
     float(film.sum())
 
+    # Chunks pipeline without per-chunk host sync (matching the renderer's
+    # driver loop): one final sync after the last chunk.
     t0 = time.monotonic()
-    total_rays = 0.0
+    pending = []
     for i in range(MEASURE_CHUNKS):
         film, rays = _render_chunk(scene, settings, 1 + i, i * SPP_CHUNK, SPP_CHUNK)
-        total_rays += float(rays)
+        pending.append(rays)
+    total_rays = sum(float(r) for r in pending)
     float(film.sum())
     seconds = time.monotonic() - t0
     value = total_rays / seconds

@@ -174,28 +174,39 @@ def render(compiled: CompiledScene, seed: int = 0, spp_chunk: int | None = None,
                 print(f"  resumed at {done}/{settings.spp} spp")
     since_ckpt = 0
     t0 = time.monotonic()
+    # Chunks are submitted WITHOUT per-chunk host sync (the tunnel costs
+    # ~25 ms per round-trip — at ~190 ms/chunk that's a 13% tax): the
+    # donated film threads the data dependency, so the device pipelines
+    # chunk N+1's launch behind N. Ray counters are synced once at the
+    # end. Telemetry mode keeps the per-chunk sync (it times each chunk).
+    pending_rays = []
     while done < settings.spp:
         t_chunk = time.monotonic()
         cur = min(spp_chunk, settings.spp - done)
         film, rays = _render_chunk_acc(scene, settings, seed, done, film, cur)
-        chunk_rays = float(rays)  # forces completion (axon sync)
-        total_rays += chunk_rays
         done += cur
         since_ckpt += cur
         if telemetry is not None:
+            chunk_rays = float(rays)  # forces completion (axon sync)
+            total_rays += chunk_rays
             telemetry.log(
                 "chunk", spp=cur, done=done, rays=chunk_rays,
                 seconds=time.monotonic() - t_chunk,
             )
+        else:
+            pending_rays.append(rays)
         if checkpoint and (since_ckpt >= max(checkpoint_every, spp_chunk)
                            or done >= settings.spp):
             from ..utils import checkpoint as ckpt
 
+            total_rays += sum(float(r) for r in pending_rays)
+            pending_rays = []
             ckpt.save(checkpoint, np.asarray(film), done, seed, settings,
                       total_rays)
             since_ckpt = 0
         if progress:
             print(f"\r  {done}/{settings.spp} spp", end="", flush=True)
+    total_rays += sum(float(r) for r in pending_rays)
     # device_get forces completion (block_until_ready is unreliable over the
     # axon tunnel backend).
     film_np = np.asarray(film)

@@ -721,8 +721,19 @@ def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8, t_cap=None):
 
 
 def _use_brute(geom: Geometry, mode: str) -> bool:
+    """Auto brute/BVH threshold, from sweep_crossover.json (blob shape:
+    enclosed lumpy icosphere, bounce-like rays with per-packet-clustered
+    surface origins + isotropic directions — the renderer's worst real
+    workload). Measured on TPU v5e: brute wins that worst case by >= 2x
+    through 20k tris (e.g. 9.9 vs 4.9 M rays/s at 5.1k) and narrowly even
+    at 82k (0.72 vs 0.53 M), BUT end-to-end renders flip long before
+    that — real scenes mix in camera-coherent and off-mesh rays the
+    packet kernel resolves near-root, so assets/sample.toml (82k) renders
+    24.6 M rays/s via the kernel while its brute render is ~0.7 M. 8192
+    splits the regimes: below it brute wins even the kernel-favorable
+    mixes; above it the end-to-end advantage compounds with size."""
     nprim = geom.tri_p0.shape[0] + geom.sph_c.shape[0]
-    return mode == "brute" or (mode == "auto" and nprim <= 512)
+    return mode == "brute" or (mode == "auto" and nprim <= 8192)
 
 
 def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
