@@ -114,12 +114,15 @@ def main() -> None:
 
     loss, rays = train_step(scene, params, 100)
     float(loss)  # warm-up + compile
+    # Steps pipeline like a real optimizer loop (params stay on device);
+    # one sync after the last step.
     t0 = time.monotonic()
-    bwd_rays = 0.0
+    pend = []
     for i in range(BWD_STEPS):
         loss, rays = train_step(scene, params, 101 + i)
-        bwd_rays += float(rays)
-        float(loss)
+        pend.append((loss, rays))
+    bwd_rays = sum(float(r) for _, r in pend)
+    float(pend[-1][0].sum()) if hasattr(pend[-1][0], "sum") else float(pend[-1][0])
     bwd_seconds = time.monotonic() - t0
     fwd_bwd_value = bwd_rays / bwd_seconds
 
