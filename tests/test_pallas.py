@@ -250,3 +250,42 @@ def test_occlusion_early_stop_verdict_parity_walk():
         np.abs(np.asarray(h_oc.t) - np.asarray(dist)) <= EPS
     )
     np.testing.assert_array_equal(vis_oc, vis_ex)
+
+
+def test_resolve_streamed_auto_selection(monkeypatch):
+    """_resolve must keep big meshes on the Pallas path via the streamed
+    kernel when resident tables exceed VMEM, and fall back to the XLA walk
+    only when even the node table won't fit."""
+    from lumillyrender_tpu.ops import intersect, pallas_bvh
+
+    geom, (p0, e1, e2, nrm, tmat) = _scene(seed=61, tris=9000)
+    arrays = build_tri_bvh(p0, e1, e2, tri_n=nrm, tri_mat=tmat, max_leaf=32)
+    bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+
+    monkeypatch.setattr(pallas_bvh, "on_tpu", lambda: True)
+    assert intersect._resolve(geom, bvh, "auto") == "pallas"
+
+    # Resident tables too big -> still pallas (streamed).
+    monkeypatch.setattr(pallas_bvh, "VMEM_TABLE_BYTES", 1)
+    assert not pallas_bvh.supported(bvh)
+    assert pallas_bvh.supported_streamed(bvh)
+    assert intersect._resolve(geom, bvh, "auto") == "pallas"
+    # intersect_tris_pallas auto-selects streamed in that regime.
+    import lumillyrender_tpu.ops.pallas_bvh as pb
+
+    seen = {}
+    orig = pb._make_diff_fn
+
+    def spy(k, rpb, rpm, want_shade, interpret, streamed=False):
+        seen["streamed"] = streamed
+        return orig(k, rpb, rpm, want_shade, interpret, streamed)
+
+    monkeypatch.setattr(pb, "_make_diff_fn", spy)
+    o, d = _rays(1024, seed=62)
+    pb.intersect_tris_pallas(o, d, jnp.full((1024,), 1e5), bvh, geom.tri_n,
+                             interpret=True)
+    assert seen["streamed"] is True
+
+    # Node table too big -> no pallas at all.
+    monkeypatch.setattr(pallas_bvh, "NODE_VMEM_BYTES", 1)
+    assert intersect._resolve(geom, bvh, "auto") == "bvh"
