@@ -122,7 +122,10 @@ def main() -> None:
         loss, rays = train_step(scene, params, 101 + i)
         pend.append((loss, rays))
     bwd_rays = sum(float(r) for _, r in pend)
-    float(pend[-1][0].sum()) if hasattr(pend[-1][0], "sum") else float(pend[-1][0])
+    # Final sync: pulling the last loss to host forces every queued step to
+    # complete (block_until_ready is unreliable over the axon tunnel).
+    final_loss = pend[-1][0]
+    float(final_loss.sum() if hasattr(final_loss, "sum") else final_loss)
     bwd_seconds = time.monotonic() - t0
     fwd_bwd_value = bwd_rays / bwd_seconds
 

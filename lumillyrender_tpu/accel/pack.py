@@ -41,10 +41,14 @@ def _pack_kernel_tables(node_min, node_max, node_miss, node_leaf,
     """
     k = blk_p0.shape[1]
     if k <= 0 or 128 % k != 0:
+        # Degenerate tables still honor the streamed kernel's DMA invariant
+        # (every window read is a sublane extent rounded up to 8): 9 rows
+        # covers an rpb8=8 window from offset 0. Unreachable today (nt==0
+        # short-circuits in intersect_bvh) but latent-OOB-proof.
         return dict(
             pk_nodes=np.zeros((1, 8), np.float32),
-            pk_blk=np.zeros((1, 128), np.float32),
-            pk_pm=np.full((1, 128), -1, np.int32),
+            pk_blk=np.zeros((9, 128), np.float32),
+            pk_pm=np.full((9, 128), -1, np.int32),
         )
     pk_nodes = np.concatenate(
         [

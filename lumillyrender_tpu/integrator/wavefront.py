@@ -393,7 +393,11 @@ def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
     # No overflow: slot j <- the (j+1)-th live lane (prefix compaction).
     # Overflow: slot j <- the ceil((j+u)*a/width)-th live lane (systematic
     # resampling; marginal keep prob width/a, exactly width survivors).
-    u = rng.uniform(seed, jnp.uint32(0x5EED5EED), ctr)
+    # The grid jitter u is salted with the wavefront's first lane id —
+    # globally unique per chunk AND per device shard — so every chunk draws
+    # an independent offset; a fixed u would correlate survivor selection
+    # across the whole render (unbiased only in expectation over u).
+    u = rng.uniform(seed, state.lane[0] ^ jnp.uint32(0x5EED5EED), ctr)
     g = (j.astype(jnp.float32) + u) * (af / jnp.float32(width))
     r_over = jnp.ceil(g).astype(jnp.int32)
     r = jnp.where(overflow, r_over, j + 1)

@@ -750,6 +750,18 @@ def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
     from . import pallas_bvh
 
     if mode == "pallas":
+        # Fail loudly on layouts the kernel cannot serve (K not dividing
+        # 128, or a node table over the streamed VMEM budget): reaching the
+        # kernel anyway would die in Mosaic compilation or index treelets
+        # incorrectly.
+        if not (pallas_bvh.supported(bvh) or pallas_bvh.supported_streamed(bvh)):
+            raise ValueError(
+                "intersector 'pallas' forced but this BVH layout is "
+                f"unsupported (treelet K={bvh.blk_p0.shape[1]} must divide "
+                "128 and the packed node table must fit the streamed VMEM "
+                f"budget {pallas_bvh.NODE_VMEM_BYTES} B; node table is "
+                f"{pallas_bvh.node_vmem_bytes(bvh)} B). Use 'auto'."
+            )
         return "pallas"
     if (
         mode == "auto"

@@ -459,3 +459,72 @@ def test_tiled_matches_raster_statistically(monkeypatch):
     se = np.sqrt(t.var() / len(t) + r.var() / len(r))
     z = abs(t.mean() - r.mean()) / max(se, 1e-12)
     assert z < 4.0, (t.mean(), r.mean(), z)
+
+
+def test_many_light_searchsorted_matches_dense(assets_dir, monkeypatch):
+    """The n_lights > DENSE_MAX NEE pick path (searchsorted fallback,
+    wavefront._sample_light_point) must agree EXACTLY with the dense
+    one-hot path used for small light tables — the emissive-mesh case
+    (every emissive triangle its own light prim, `objects.rs:19-23`) is
+    precisely where an indexing bug would otherwise ship silently."""
+    import jax.numpy as jnp
+
+    from lumillyrender_tpu.integrator import wavefront
+    from lumillyrender_tpu.ops import table
+    from lumillyrender_tpu.scene.compiler import compile_scene_file
+
+    c = compile_scene_file(assets_dir / "many-light.toml", spp=1)
+    scene = c.data
+    n_lights = int(scene.lights.prim.shape[0])
+    assert n_lights > table.DENSE_MAX, (
+        f"scene must exceed DENSE_MAX={table.DENSE_MAX}; got {n_lights}"
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    u_pick = jnp.asarray(rng.random(n, dtype=np.float32))
+    u1 = jnp.asarray(rng.random(n, dtype=np.float32))
+    u2 = jnp.asarray(rng.random(n, dtype=np.float32))
+
+    # Default: n_lights (256) > DENSE_MAX (192) -> searchsorted branch.
+    p_ss, pdf_ss = wavefront._sample_light_point(scene, u_pick, u1, u2)
+    # Forced-dense oracle: both branches see identical inputs.
+    monkeypatch.setattr(table, "DENSE_MAX", n_lights + 8)
+    p_d, pdf_d = wavefront._sample_light_point(scene, u_pick, u1, u2)
+
+    assert np.abs(np.asarray(p_ss) - np.asarray(p_d)).max() < 1e-6
+    assert np.abs(np.asarray(pdf_ss) - np.asarray(pdf_d)).max() == 0.0
+
+    # The pick is area-proportional over ALL prims: samples must land across
+    # the whole light set, not clip at the DENSE_MAX boundary.
+    d2 = np.asarray(p_ss) - np.array([0.0, 3.2, 0.0])
+    r = np.linalg.norm(d2, axis=1)
+    assert np.all(np.abs(r - 0.6) < 0.08)  # on the (faceted) lamp sphere
+    # Both hemispheres of the lamp get picked (prims are latitude-ordered).
+    assert (d2[:, 1] > 0.3).any() and (d2[:, 1] < -0.3).any()
+
+
+def test_many_light_pt_vs_nee_agree(assets_dir):
+    """End-to-end cross-estimator gate THROUGH the searchsorted NEE branch:
+    pt (never picks lights) and pt-direct (picks among 256 light prims)
+    estimate the same image; their means must agree within MC error."""
+    import dataclasses as dc
+
+    from lumillyrender_tpu.scene.compiler import compile_scene_file
+
+    def sc(integ, spp):
+        c = compile_scene_file(assets_dir / "many-light.toml", spp=spp)
+        c.settings = dc.replace(c.settings, width=32, height=32,
+                                integrator=integ)
+        return c
+
+    a = render(sc("pt", 768), seed=21).film.mean(axis=2)
+    b = render(sc("pt-direct", 192), seed=22).film.mean(axis=2)
+    assert a.mean() > 0.01
+    rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
+    assert rel < 0.1, (a.mean(), b.mean())
+    h, w = a.shape
+    for sy in (slice(0, h // 2), slice(h // 2, h)):
+        for sx in (slice(0, w // 2), slice(w // 2, w)):
+            qa, qb = a[sy, sx].mean(), b[sy, sx].mean()
+            assert abs(qa - qb) / max(qa, 1e-9) < 0.2, (qa, qb)

@@ -162,6 +162,45 @@ def make_bunny_substitute(models_dir: Path, subdiv: int = 6):
     return faces.shape[0]
 
 
+def make_lamp_sphere(models_dir: Path, slices: int = 16, stacks: int = 9):
+    """UV-sphere obj (unit radius) whose every face becomes its own light
+    prim when bound to a [[light]] — slices=16/stacks=9 gives 256 triangles,
+    past the renderer's DENSE_MAX=192 light-table threshold, exercising the
+    searchsorted NEE pick path (`objects.rs:19-23`: emissive meshes register
+    per-primitive lights in the reference too)."""
+    verts = [(0.0, 1.0, 0.0)]
+    for i in range(1, stacks):
+        th = np.pi * i / stacks
+        for j in range(slices):
+            ph = 2 * np.pi * j / slices
+            verts.append(
+                (np.sin(th) * np.cos(ph), np.cos(th), np.sin(th) * np.sin(ph))
+            )
+    verts.append((0.0, -1.0, 0.0))
+    bot = len(verts) - 1
+    faces = []
+    ring = lambda i, j: 1 + (i - 1) * slices + (j % slices)
+    for j in range(slices):  # top cap (outward winding)
+        faces.append((0, ring(1, j + 1), ring(1, j)))
+    for i in range(1, stacks - 1):
+        for j in range(slices):
+            a, b = ring(i, j), ring(i, j + 1)
+            c, d = ring(i + 1, j), ring(i + 1, j + 1)
+            faces.append((a, b, d))
+            faces.append((a, d, c))
+    for j in range(slices):  # bottom cap
+        faces.append((bot, ring(stacks - 1, j), ring(stacks - 1, j + 1)))
+    out = models_dir / "simple" / "lamp_sphere.obj"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        f.write("o lamp_sphere\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for a, b, c in faces:
+            f.write(f"f {a + 1} {b + 1} {c + 1}\n")
+    return len(faces)
+
+
 def make_ibl(models_dir: Path):
     """Small synthetic equirect HDR (sun + gradient sky) for IBL tests."""
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -197,8 +236,12 @@ def main(out_dir: str = "assets") -> None:
     models = root / "models"
     make_cbox(models)
     n = make_bunny_substitute(models)
+    nl = make_lamp_sphere(models)
     make_ibl(models)
-    print(f"assets written to {root} (bunny substitute: {n} tris)")
+    print(
+        f"assets written to {root} (bunny substitute: {n} tris, "
+        f"lamp sphere: {nl} tris)"
+    )
 
 
 if __name__ == "__main__":

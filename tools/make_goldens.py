@@ -37,6 +37,7 @@ CONFIGS = [
     ("new-cbox.toml", 48, 48, 8),
     ("ibl-material.toml", 48, 36, 8),
     ("welcome-geo.toml", 32, 24, 4),  # config 5: 82k-tri BVH + IBL + thin lens
+    ("many-light.toml", 32, 32, 8),  # 256 light prims: searchsorted NEE pick
 ]
 SEED = 1234
 
