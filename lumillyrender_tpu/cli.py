@@ -38,6 +38,13 @@ def main(argv=None) -> int:
              "brute/bvh/pallas force a backend (pallas off-TPU runs the "
              "kernel in interpreter mode — slow, for debugging)",
     )
+    parser.add_argument(
+        "--fused", choices=("auto", "on", "off"), default="auto",
+        help="Fused Pallas bounce-step kernel: auto uses it on TPU for "
+             "scenes it supports (small prim/light tables, uniform sky); "
+             "off forces the XLA bounce step; on forces it even off-TPU "
+             "(interpreter mode — slow, for debugging)",
+    )
     parser.add_argument("--devices", type=int, default=0,
                         help="Shard across N devices (0 = single device)")
     parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
@@ -95,6 +102,10 @@ def main(argv=None) -> int:
     if args.intersector != "auto":
         compiled.settings = dataclasses.replace(
             compiled.settings, intersector=args.intersector
+        )
+    if args.fused != "auto":
+        compiled.settings = dataclasses.replace(
+            compiled.settings, fused=args.fused
         )
     if args.resolution:
         compiled.settings = dataclasses.replace(

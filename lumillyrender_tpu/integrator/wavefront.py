@@ -113,6 +113,7 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     """
     u_pick, u1, u2, _ = rng.uniform4(seed, lane, bounce_ctr + _NEE)
     light_point, pdf = _sample_light_point(scene, u_pick, u1, u2)
+    light_point, pdf = _name_samp(light_point, pdf)
 
     path = light_point - sp.position
     dist = vec.norm(path)
@@ -154,6 +155,21 @@ def _direct_light(scene, settings, sp, out_dir, mats_eval, mats_gathered, lane, 
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
+def _name_samp(*vals):
+    """Mark detached SAMPLING outputs (BSDF lobe direction/pdf, point on
+    light) as checkpoint-saveable residuals under the "samp" name.
+
+    Sampling decisions are computed from the stop-gradient table, so no
+    cotangent ever flows through them — rematerializing their ONB +
+    transcendental math in the backward sweep is pure waste. Saving them
+    costs ~4-8 f32/lane/bounce of HBM. No-op outside jax.checkpoint.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = tuple(checkpoint_name(v, "samp") for v in vals)
+    return out if len(out) > 1 else out[0]
+
+
 def _name_isect(hit, sp):
     """Mark intersection outputs as checkpoint-saveable residuals.
 
@@ -178,13 +194,28 @@ def _name_isect(hit, sp):
 
 
 def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
-                     mats_eval=None):
+                     mats_eval=None, allow_fused: bool = True):
     """Build the per-bounce transition function over PathState.
 
     `mats_eval` defaults to `scene.materials`; the differentiable renderer
     passes the live (gradient-carrying) table here while `scene.materials`
     holds a detached copy used for sampling decisions.
+
+    Forward rendering on TPU uses the FUSED Pallas bounce kernel when the
+    scene qualifies (ops/pallas_bounce.py: brute-force regime, uniform sky,
+    small light/material tables) — the whole transition below runs inside
+    one Pallas program with zero layout/bookkeeping work. The XLA step
+    built here is its correctness oracle (tests/test_fused_bounce.py) and
+    serves the differentiable path (`allow_fused=False`), big scenes, IBL
+    and many-light scenes.
     """
+    if mats_eval is None and allow_fused:
+        from ..ops import pallas_bounce
+
+        if pallas_bounce.enabled(scene, settings):
+            return pallas_bounce.make_step(
+                scene, settings, seed, interpret=not pallas_bounce.on_tpu()
+            )
     if mats_eval is None:
         mats_eval = scene.materials
     nee = settings.integrator == "pt-direct"
@@ -246,6 +277,7 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
         # BSDF sampling + throughput update (`scene.rs:78-102`).
         s = bsdf.sample(m_sample, out_dir, sp.normal, r1, r2, r3,
                         present=settings.mat_types)
+        s = bsdf.BsdfSample(*_name_samp(s.direction, s.pdf))
         f = bsdf.eval_brdf(m_eval, out_dir, s.direction, sp.normal,
                            sp.position, present=settings.mat_types)
         cf = bsdf.coef(m_eval, out_dir, sp.normal, hit.t,
@@ -285,7 +317,8 @@ def trace(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
         rays_traced=jnp.float32(0.0),
         lane=jnp.asarray(lane, jnp.uint32),
     )
-    step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval)
+    step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval,
+                            allow_fused=not differentiable)
 
     if differentiable:
         # Rematerialize each bounce in the backward pass: reverse-mode over
@@ -463,7 +496,8 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
         rays_traced=jnp.float32(0.0),
         lane=lane,
     )
-    step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval)
+    step = make_bounce_step(scene, settings, seed, mats_eval=mats_eval,
+                            allow_fused=not differentiable)
     film = jnp.zeros((n_pixels, 3), o.dtype)
 
     def to_pixel(lane_vals):
@@ -489,15 +523,37 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
                 )
                 return s2, None
 
-            # Remat each bounce, but SAVE the named intersection outputs:
-            # the backward recompute then skips re-walking the scene (the
-            # dominant forward cost) for ~16 f32/lane/bounce of HBM.
-            ck = jax.checkpoint(
-                scan_step,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "isect"
-                ),
-            )
+            # Per-bounce rematerialization policy (settings.bwd_remat),
+            # measured on the 256^2 x 4 spp train step (BWD_REMAT.json,
+            # tools/bench_bwd.py):
+            #   "full"       plain jax.checkpoint (save carries only) —
+            #                one recompute per bounce in the backward;
+            #   "isect"      save named intersection outputs (the round-3
+            #                policy — now measured SLOWER than "full":
+            #                the residual traffic costs more than the
+            #                recompute it avoids at these widths);
+            #   "isect+samp" additionally save detached sampling outputs;
+            #   "none"       no remat: reverse-mode saves every bounce
+            #                intermediate (HBM-bound at wide stages);
+            #   "hybrid"     no remat on narrow stages (width <= 48k,
+            #                where full residuals are cheap), "full"
+            #                checkpoint on wide ones.
+            mode = getattr(settings, "bwd_remat", "full")
+            width = state.alive.shape[0]
+            if mode == "none" or (mode == "hybrid" and width <= 48 * 1024):
+                state, _ = jax.lax.scan(scan_step, state, None,
+                                        length=n_steps)
+                return state
+            if mode in ("full", "hybrid"):
+                ck = jax.checkpoint(scan_step)
+            else:
+                names = ("isect",) if mode == "isect" else ("isect", "samp")
+                ck = jax.checkpoint(
+                    scan_step,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        *names
+                    ),
+                )
             state, _ = jax.lax.scan(ck, state, None, length=n_steps)
             return state
         return jax.lax.while_loop(

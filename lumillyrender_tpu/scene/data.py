@@ -184,6 +184,16 @@ class RenderSettings:
     # kernels prune absent families' branches entirely (ops/bsdf.py). None
     # = assume all five.
     mat_types: tuple | None = None
+    # Fused Pallas bounce-step kernel (ops/pallas_bounce.py): "auto" uses it
+    # on TPU for scenes it supports (small prim/light/material tables,
+    # uniform sky, forward rendering); "off" forces the XLA step; "on"
+    # forces it wherever `supported` holds (even off-TPU, via interpreter).
+    fused: str = "auto"
+    # Differentiable-path rematerialization policy (integrator/wavefront.py
+    # run_stage): "full" | "isect" | "isect+samp" | "none" | "hybrid".
+    # Measured on the fwd+bwd benchmark (tools/bench_bwd.py,
+    # BWD_REMAT.json) — see BASELINE.md.
+    bwd_remat: str = "full"
 
 
 for _cls in (MaterialTable, Geometry, LightTable, Bvh, SkyData, CameraData, SceneData):
