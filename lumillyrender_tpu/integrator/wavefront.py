@@ -216,6 +216,19 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
             return pallas_bounce.make_step(
                 scene, settings, seed, interpret=not pallas_bounce.on_tpu()
             )
+    if mats_eval is not None:
+        # Differentiable path: Lambert-only scenes get the fused forward
+        # kernel with a HAND-WRITTEN Pallas backward (custom_vjp) — no
+        # rematerialized XLA bounce anywhere (ops/pallas_bounce.py,
+        # `supported_diff`). run_stage detects `.fused_diff` and skips
+        # jax.checkpoint (the custom VJP's residuals are just the carry).
+        from ..ops import pallas_bounce
+
+        if pallas_bounce.enabled_diff(scene, settings):
+            return pallas_bounce.make_step_diff(
+                scene, settings, seed, mats_eval,
+                interpret=not pallas_bounce.on_tpu(),
+            )
     if mats_eval is None:
         mats_eval = scene.materials
     nee = settings.integrator == "pt-direct"
@@ -517,11 +530,20 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
 
     def run_stage(state, b1: int, n_steps: int):
         if differentiable:
-            def scan_step(s, _):
-                s2 = jax.lax.cond(
-                    jnp.any(s.alive) & (s.bounce < b1), step, lambda x: x, s
-                )
-                return s2, None
+            if getattr(step, "fused_diff", False):
+                # No lax.cond skip around the custom_vjp kernel step: cond
+                # over a custom_vjp whose closure carries traced tables
+                # trips an XLA lowering bug ("no constant handler"), and
+                # the kernel is mask-correct (and cheap) on dead lanes.
+                def scan_step(s, _):
+                    return step(s), None
+            else:
+                def scan_step(s, _):
+                    s2 = jax.lax.cond(
+                        jnp.any(s.alive) & (s.bounce < b1), step,
+                        lambda x: x, s
+                    )
+                    return s2, None
 
             # Per-bounce rematerialization policy (settings.bwd_remat),
             # measured on the 256^2 x 4 spp train step (BWD_REMAT.json,
@@ -539,6 +561,12 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
             #                where full residuals are cheap), "full"
             #                checkpoint on wide ones.
             mode = getattr(settings, "bwd_remat", "full")
+            if getattr(step, "fused_diff", False):
+                # custom_vjp bounce: its residuals are just the input carry
+                # (saved by the scan anyway) and its backward is one Pallas
+                # kernel pass — jax.checkpoint would only add a pointless
+                # forward re-run.
+                mode = "none"
             width = state.alive.shape[0]
             if mode == "none" or (mode == "hybrid" and width <= 48 * 1024):
                 state, _ = jax.lax.scan(scan_step, state, None,

@@ -257,10 +257,51 @@ _CAND_B = 4  # candidate treelet slots per lane between flushes
 _WALK_S = 16  # node-walk steps per outer iteration
 
 
+def _spread3(x):
+    """Spread the low 10 bits of uint32 x so bit i lands at bit 3i
+    (standard Morton part1by2)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _ray_sort_key(o, d, bvh: Bvh, bits: int = 6):
+    """Packet-coherence sort key: [direction octant (3b) | origin Morton
+    (3*bits b)] over the root AABB.
+
+    Packet traversal tests every lane against the UNION of the packet's
+    subtrees; an incoherent wavefront makes that union most of the tree
+    (BIGMESH round 3: 0.11 M rays/s at 1M tris — slower than the XLA walk
+    it replaced). Sorting bounce rays so each 1024-lane packet shares an
+    origin cell and direction octant shrinks the union to a few treelets.
+    Octant-major ordering measured best: rays leaving one cell in one
+    octant walk nearly identical node sequences.
+    """
+    lo = bvh.node_min[0]
+    hi = bvh.node_max[0]
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip(
+        ((o - lo) / span) * (1 << bits), 0.0, float((1 << bits) - 1)
+    ).astype(jnp.uint32)
+    m = (
+        _spread3(q[:, 0])
+        | (_spread3(q[:, 1]) << 1)
+        | (_spread3(q[:, 2]) << 2)
+    )
+    octant = (
+        (d[:, 0] > 0).astype(jnp.uint32) * 4
+        + (d[:, 1] > 0).astype(jnp.uint32) * 2
+        + (d[:, 2] > 0).astype(jnp.uint32)
+    )
+    return (octant << (3 * bits)) | m
+
+
 def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
                   use_pallas: bool = False, pallas_interpret: bool = False,
                   t_cap=None, pallas_streamed: bool | None = None,
-                  occlusion: bool = False):
+                  occlusion: bool = False, reorder: bool | None = None):
     """Collect-then-flush cursor traversal of the treelet BVH. o,d: (N,3).
 
     TPU gathers run far below streaming bandwidth, so the inner walk touches
@@ -339,11 +380,54 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
         # Packet-traversal Pallas kernel (ops/pallas_bvh.py).
         from . import pallas_bvh
 
-        outs = pallas_bvh.intersect_tris_pallas(
-            o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
-            interpret=pallas_interpret, streamed=pallas_streamed,
-            t_stop=stop,
+        streamed_eff = (
+            pallas_streamed if pallas_streamed is not None
+            else not pallas_bvh.supported(bvh)
         )
+        # Ray reordering (default: streamed kernels, whose big trees make
+        # packet-union traversal collapse on incoherent wavefronts): sort
+        # lanes by (octant | origin-Morton), traverse, inverse-permute.
+        # Exact — each lane still tests a superset of its own subtree
+        # leaves, so the per-lane winner is unchanged (same triangles,
+        # same arithmetic). Sort cost is two 1-column ops at wavefront
+        # width; the traversal saved is orders of magnitude larger
+        # (BIGMESH.json: 0.11 -> >=1 M rays/s incoherent at 1M tris).
+        import os as _os
+
+        _env = _os.environ.get("LLR_REORDER", "auto")
+        if _env in ("0", "1"):
+            do_reorder = _env == "1"
+        elif reorder is not None:
+            do_reorder = reorder
+        else:
+            # Streamed kernels only: their big trees collapse on
+            # incoherent packets (BIGMESH.json), and the traversal saved
+            # dwarfs the sort. Resident kernels measured WORSE with
+            # sorting at every width tried — full chunks (sample.toml 2M
+            # lanes: 30.8 -> 4.7 M rays/s) and compacted bounce stages
+            # alike (<=262k-lane cutoff: welcome-geo 22.3 -> 14.6, sample
+            # 30.8 -> 23.3): at ~82k tris the packet-union penalty is
+            # smaller than the XLA argsort + double permutation.
+            do_reorder = streamed_eff
+        if do_reorder:
+            key = _ray_sort_key(o, d, bvh)
+            perm = jnp.argsort(key)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype)
+            )
+            outs = pallas_bvh.intersect_tris_pallas(
+                jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
+                jnp.take(best_t0, perm), bvh, geom.tri_n,
+                want_shade=want_shade, interpret=pallas_interpret,
+                streamed=pallas_streamed, t_stop=jnp.take(stop, perm),
+            )
+            outs = tuple(jnp.take(x, inv, axis=0) for x in outs)
+        else:
+            outs = pallas_bvh.intersect_tris_pallas(
+                o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
+                interpret=pallas_interpret, streamed=pallas_streamed,
+                t_stop=stop,
+            )
     else:
         outs = _walk_tris_xla(o, d, best_t0, geom.tri_n, bvh, want_shade,
                               stop)
@@ -728,8 +812,10 @@ def _use_brute(geom: Geometry, mode: str) -> bool:
     through 20k tris (e.g. 9.9 vs 4.9 M rays/s at 5.1k) and narrowly even
     at 82k (0.72 vs 0.53 M), BUT end-to-end renders flip long before
     that — real scenes mix in camera-coherent and off-mesh rays the
-    packet kernel resolves near-root, so assets/sample.toml (82k) renders
-    24.6 M rays/s via the kernel while its brute render is ~0.7 M. 8192
+    packet kernel resolves near-root. Committed evidence:
+    BRUTE_VS_KERNEL.json (tools/bench_brute_vs_kernel.py) renders
+    assets/sample.toml (82k tris) both ways at an identical budget:
+    kernel 6.16 M rays/s vs brute 0.23 M (27x), films identical. 8192
     splits the regimes: below it brute wins even the kernel-favorable
     mixes; above it the end-to-end advantage compounds with size."""
     nprim = geom.tri_p0.shape[0] + geom.sph_c.shape[0]

@@ -581,7 +581,7 @@ def _gather_mat(mt, mat_f, nm: int, present):
 
 def _bounce_kernel(
     bounce_ref, seed_ref,  # SMEM scalars
-    tt_ref, st_ref, mt_ref, lt_ref, misc_ref,  # VMEM tables
+    tt_ref, st_ref, mts_ref, mte_ref, lt_ref, misc_ref,  # VMEM tables
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tr_ref, tg_ref, tb_ref, ar_ref, ag_ref, ab_ref,
     alive_ref, lane_ref,
@@ -621,7 +621,13 @@ def _bounce_kernel(
     )
     alive = alive & hit_any
 
-    m = _gather_mat(mt_ref, mat_f, nm, present)
+    # Detached-sampling split (diff/render.py): RR probability and the
+    # NEE emissive-hit early-out come from the SAMPLE table (stop-gradient
+    # copy on the differentiable path); BRDF/emission evaluation from the
+    # EVAL table (live params). Forward rendering passes the same array
+    # twice.
+    m_s = _gather_mat(mts_ref, mat_f, nm, present)
+    m = _gather_mat(mte_ref, mat_f, nm, present)
     out3 = _neg(d3)
 
     # Emission (front faces only; depth-0 gating; no MIS past depth 0).
@@ -648,7 +654,7 @@ def _bounce_kernel(
     u_rr, r1, r2, r3u = _pcg4d_uniform4(lane, ctr0 + _SCATTER, seed)
 
     # Russian roulette (`scene.rs:64-76` policy via wavefront._russian_roulette).
-    prob = jnp.maximum(jnp.maximum(m["col"][0], m["col"][1]), m["col"][2])
+    prob = jnp.maximum(jnp.maximum(m_s["col"][0], m_s["col"][1]), m_s["col"][2])
     over = jnp.maximum(bounce - depth_limit, 0).astype(jnp.float32)
     prob = prob * jnp.exp2(-over)
     prob = jnp.where((bounce <= depth) & (prob > 0.0), 1.0, prob)
@@ -702,7 +708,7 @@ def _bounce_kernel(
         pn3 = _orienting(out3, n3)
         cos_p = _dot(wi3, pn3)
         ok = cos_p > 0.0
-        not_emitter = _dot(m["emi"], m["emi"]) <= 0.0
+        not_emitter = _dot(m_s["emi"], m_s["emi"]) <= 0.0
         ok = ok & not_emitter
 
         # Shadow query, capped at dist + 2*EPS (same contract as the XLA
@@ -719,7 +725,7 @@ def _bounce_kernel(
 
         g = cos_p * light_cos / jnp.maximum(_dot(path3, path3), 1e-20)
         f3 = _eval_brdf(m, out3, wi3, pn3, pos3[0], pos3[2], present)
-        sm = _gather_mat(mt_ref, s_mat, nm, present)
+        sm = _gather_mat(mte_ref, s_mat, nm, present)
         gp = g / pdf_l
         contrib3 = tuple(f3[c] * sm["emi"][c] * gp for c in range(3))
         mask = alive & ok
@@ -732,7 +738,7 @@ def _bounce_kernel(
         rays = rays + jnp.where(alive, 1.0, 0.0)  # shadow rays
 
     # BSDF sampling + throughput update (`scene.rs:78-102`).
-    sd3, pdf = _sample_bsdf(m, out3, n3, r1, r2, r3u, present)
+    sd3, pdf = _sample_bsdf(m_s, out3, n3, r1, r2, r3u, present)
     f3 = _eval_brdf(m, out3, sd3, n3, pos3[0], pos3[2], present)
     cf3 = _coef3(m, out3, n3, t, present)
     cos = _dot(sd3, n3)
@@ -764,6 +770,18 @@ def _bounce_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _mat_table(mats):
+    """(nm, 16) f32 material-parameter table (see _pack_tables)."""
+    f32 = jnp.float32
+    nm = mats.type_id.shape[0]
+    return jnp.concatenate(
+        [mats.type_id.astype(f32)[:, None], mats.color, mats.emission,
+         mats.alpha[:, None], mats.ior[:, None],
+         mats.absorbtance[:, None], jnp.zeros((nm, 6), f32)],
+        axis=1,
+    )
+
+
 def _pack_tables(scene, present):
     """Tiny per-scene tables with every field at a STATIC lane offset.
 
@@ -790,14 +808,7 @@ def _pack_tables(scene, present):
         )  # (ns, 8)
     else:
         st = jnp.zeros((1, 8), f32)
-    mats = scene.materials
-    nm = mats.type_id.shape[0]
-    mt = jnp.concatenate(
-        [mats.type_id.astype(f32)[:, None], mats.color, mats.emission,
-         mats.alpha[:, None], mats.ior[:, None],
-         mats.absorbtance[:, None], jnp.zeros((nm, 6), f32)],
-        axis=1,
-    )  # (nm, 16)
+    mt = _mat_table(scene.materials)  # (nm, 16)
     lights = scene.lights
     nl = lights.prim.shape[0]
     lt = jnp.concatenate(
@@ -823,7 +834,7 @@ def _make_call(nt, ns, nm, nl, nee, has_lights, no_direct_emitter, depth,
         depth=depth, depth_limit=depth_limit, present=present,
     )
 
-    def call(bounce, seed_i32, tt, st, mt, lt, misc, tiles):
+    def call(bounce, seed_i32, tt, st, mts, mte, lt, misc, tiles):
         rows = tiles[0].shape[0]
         grid = (rows // SUB,)
         smem = pl.BlockSpec(
@@ -843,7 +854,7 @@ def _make_call(nt, ns, nm, nl, nee, has_lights, no_direct_emitter, depth,
             ],
             in_specs=(
                 [smem, smem]
-                + [table(a) for a in (tt, st, mt, lt, misc)]
+                + [table(a) for a in (tt, st, mts, mte, lt, misc)]
                 + [tile] * 14
             ),
             out_specs=[tile] * 14,
@@ -854,17 +865,59 @@ def _make_call(nt, ns, nm, nl, nee, has_lights, no_direct_emitter, depth,
         )(
             jnp.reshape(jnp.asarray(bounce, jnp.int32), (1, 1)),
             jnp.reshape(seed_i32, (1, 1)),
-            tt, st, mt, lt, misc, *tiles,
+            tt, st, mts, mte, lt, misc, *tiles,
         )
 
     return call
+
+
+def _state_tiles(state, pad):
+    """Pad a PathState to a PACKET multiple and split into (rows, 128)
+    component tiles in the kernels' input order."""
+    def prep(a, fill=0.0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], 0
+            )
+        return a
+
+    to2d = lambda a: a.reshape(-1, LANE)
+    return (
+        [to2d(prep(state.o[:, c])) for c in range(3)]
+        + [to2d(prep(state.d[:, c], 1.0)) for c in range(3)]
+        + [to2d(prep(state.throughput[:, c])) for c in range(3)]
+        + [to2d(prep(state.accum[:, c])) for c in range(3)]
+        + [to2d(prep(state.alive.astype(jnp.int32), 0))]
+        + [to2d(prep(jax.lax.bitcast_convert_type(state.lane, jnp.int32), 0))]
+    )
+
+
+def _apply_fwd(call, tables, seed_i32, state):
+    """Run the fused forward kernel on a PathState -> new PathState."""
+    from ..integrator.wavefront import PathState
+
+    n = state.o.shape[0]
+    pad = (-n) % PACKET
+    tiles = _state_tiles(state, pad)
+    outs = call(state.bounce, seed_i32, *tables, tuple(tiles))
+    flat = [x.reshape(-1)[:n] for x in outs]
+    o = jnp.stack(flat[0:3], axis=-1)
+    d = jnp.stack(flat[3:6], axis=-1)
+    thr = jnp.stack(flat[6:9], axis=-1)
+    acc = jnp.stack(flat[9:12], axis=-1)
+    alive = flat[12] != 0
+    rays = state.rays_traced + jnp.sum(flat[13])
+    return PathState(
+        bounce=state.bounce + 1,
+        o=o, d=d, throughput=thr, accum=acc, alive=alive,
+        rays_traced=rays, lane=state.lane,
+    )
 
 
 def make_step(scene, settings, seed, interpret: bool = False):
     """Build a PathState -> PathState bounce transition running the fused
     Pallas kernel. Drop-in replacement for the XLA step built by
     `integrator/wavefront.py:make_bounce_step` (forward rendering only)."""
-    from ..integrator.wavefront import PathState
     from . import rng as rng_mod
 
     present = settings.mat_types
@@ -879,16 +932,523 @@ def make_step(scene, settings, seed, interpret: bool = False):
         settings.no_direct_emitter, settings.depth, settings.depth_limit,
         present, interpret,
     )
-    tables = _pack_tables(scene, present)
+    tt, st, mt, lt, misc = _pack_tables(scene, present)
+    # Forward rendering: sample table == eval table.
+    tables = (tt, st, mt, mt, lt, misc)
     # int32 bit-pattern of the uint32 seed (Mosaic RNG runs in int32).
     seed_i32 = jax.lax.bitcast_convert_type(
         rng_mod._seed_u32(seed), jnp.int32
     )
 
-    def step(state: PathState) -> PathState:
-        n = state.o.shape[0]
-        pad = (-n) % PACKET
+    def step(state):
+        return _apply_fwd(call, tables, seed_i32, state)
 
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Hand-written backward kernel (Lambert-only scenes)
+#
+# For Lambert scenes the bounce backward is analytically tiny, which XLA's
+# autodiff cannot see through the where/select graph:
+#   * the throughput weight is EXACTLY w = albedo * checker(pos):
+#     cos/pdf = cos/(cos/pi) cancels, including its normal-gradient;
+#   * the sampled direction carries no input gradients (ONB of a
+#     piecewise-constant normal + RNG only);
+#   * RR probability comes from the DETACHED table (sampling decision), so
+#     no albedo gradient flows through it;
+#   * all masks (front-face, RR accept, NEE visibility, checker texel) are
+#     piecewise constant;
+#   * dt/d(o,d) is the plane equation at the winner normal — for spheres
+#     too (any smooth surface is first-order its tangent plane).
+# What remains: the emission/sky/NEE accumulation products, the NEE
+# geometry-term chain (incl. sphere-normal chains on both the main hit and
+# the shadow hit — sphere lights), and the position/plane chain. One
+# kernel pass computes all input cotangents plus per-row material/sky
+# gradients, so the differentiable path needs NO rematerialized XLA bounce
+# at all: residuals are just the (small) input PathState.
+# ---------------------------------------------------------------------------
+
+
+def supported_diff(scene, settings) -> bool:
+    """Whether the hand-VJP fused bounce can serve the differentiable path:
+    `supported` plus a Lambert-only material table (the closed-form
+    backward above is derived for Lambert; other families keep the XLA
+    autodiff path)."""
+    if not supported(scene, settings):
+        return False
+    present = settings.mat_types
+    if present is None or tuple(present) != (MAT_LAMBERT,):
+        return False
+    # Gradient-row layout in the bwd kernel: nm*8+3 entries must fit one
+    # 128-lane row.
+    if scene.materials.type_id.shape[0] > 15:
+        return False
+    return True
+
+
+def enabled_diff(scene, settings) -> bool:
+    flag = os.environ.get("LLR_FUSED", "auto")
+    if flag == "0" or getattr(settings, "fused", "auto") == "off":
+        return False
+    force = flag == "1" or getattr(settings, "fused", "auto") == "on"
+    if not (force or on_tpu()):
+        return False
+    return supported_diff(scene, settings)
+
+
+def _norm_vjp(u3, n3, g3, scale):
+    """VJP of n = normalize(u): gu = (g - n (n.g)) / |u| with |u| passed as
+    `scale` (guarded)."""
+    ndg = _dot(n3, g3)
+    inv = 1.0 / jnp.maximum(scale, 1e-20)
+    return ((g3[0] - n3[0] * ndg) * inv,
+            (g3[1] - n3[1] * ndg) * inv,
+            (g3[2] - n3[2] * ndg) * inv)
+
+
+def _bounce_bwd_kernel(
+    bounce_ref, seed_ref,
+    tt_ref, st_ref, mts_ref, mte_ref, lt_ref, misc_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tr_ref, tg_ref, tb_ref, alive_ref, lane_ref,
+    gox_ref, goy_ref, goz_ref, gdx_ref, gdy_ref, gdz_ref,
+    gtr_ref, gtg_ref, gtb_ref, gar_ref, gag_ref, gab_ref,
+    # outputs
+    obx_ref, oby_ref, obz_ref, dbx_ref, dby_ref, dbz_ref,
+    tbx_ref, tby_ref, tbz_ref, gtab_ref,
+    *, nt: int, ns: int, nm: int, nl: int, nee: bool, has_lights: bool,
+    no_direct_emitter: bool, depth: int, depth_limit: int,
+):
+    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+    T0 = (tr_ref[:], tg_ref[:], tb_ref[:])
+    alive0 = alive_ref[:] != 0
+    lane = lane_ref[:]
+    bounce = bounce_ref[0, 0]
+    seed = seed_ref[0, 0]
+    ctr0 = bounce * _SLOTS
+    go_p = (gox_ref[:], goy_ref[:], goz_ref[:])  # cotangent of o'
+    gd_p = (gdx_ref[:], gdy_ref[:], gdz_ref[:])
+    gT_p = (gtr_ref[:], gtg_ref[:], gtb_ref[:])
+    gA = (gar_ref[:], gag_ref[:], gab_ref[:])  # accum is add-only: Abar_in = Abar'
+    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    present = (MAT_LAMBERT,)
+
+    # ---- primal recompute (mirrors _bounce_kernel, Lambert path) ----
+    inf_t = jnp.full((SUB, LANE), INF, jnp.float32)
+    t, hit, mat_f, n3, sc3, is_sph = _intersect_all(
+        tt_ref, st_ref, o3, d3, inf_t, nt, ns
+    )
+    pos3, n3 = _shade_winner(o3, d3, t, hit, n3, sc3, is_sph, ns)
+    missed = alive0 & ~hit
+    alive1 = alive0 & hit
+    # Detached-sampling split: RR prob / NEE emissive-early-out from the
+    # SAMPLE table; all evaluated radiometry (and its gradients) from the
+    # EVAL table.
+    m_s = _gather_mat(mts_ref, mat_f, nm, present)
+    m = _gather_mat(mte_ref, mat_f, nm, present)
+    out3 = _neg(d3)
+    sky3 = (misc_ref[0, 0], misc_ref[0, 1], misc_ref[0, 2])
+
+    u_rr, r1, r2, r3u = _pcg4d_uniform4(lane, ctr0 + _SCATTER, seed)
+    prob = jnp.maximum(jnp.maximum(m_s["col"][0], m_s["col"][1]), m_s["col"][2])
+    over = jnp.maximum(bounce - depth_limit, 0).astype(jnp.float32)
+    prob = prob * jnp.exp2(-over)
+    prob = jnp.where((bounce <= depth) & (prob > 0.0), 1.0, prob)
+    cont = (prob == 1.0) | (u_rr < prob)
+    alive2 = alive1 & cont
+    invp = 1.0 / jnp.maximum(prob, 1e-12)
+    T1 = _scale(T0, invp)
+
+    ck = _checker(pos3[0], pos3[2])
+    # Forward weight: w_c = albedo_c * ck exactly (cos/pdf cancels);
+    # lane-death needs the sampled pdf's zero-ness.
+    sigma = jnp.where(_dot(n3, out3) < 0.0, -1.0, 1.0)
+    on3 = _scale(n3, sigma)
+    u3b, v3b = _onb(on3)
+    phi = 2.0 * PI * r1
+    cp, sp_ = jnp.cos(phi), jnp.sin(phi)
+    r2s = jnp.sqrt(r2)
+    d_lam = _add(
+        _add(_scale(u3b, cp * r2s), _scale(v3b, sp_ * r2s)),
+        _scale(on3, jnp.sqrt(1.0 - r2)),
+    )
+    pdf_s = _dot(d_lam, n3) / PI
+    w3 = tuple(m["col"][c] * ck for c in range(3))
+    w_nonzero = (w3[0] != 0.0) | (w3[1] != 0.0) | (w3[2] != 0.0)
+    alive3 = alive2 & w_nonzero & (pdf_s != 0.0)
+
+    # ---- cotangents ----
+    a3f = alive3
+    gpos = _where3(a3f, go_p, (zero, zero, zero))
+    go_out = _where3(a3f, (zero, zero, zero), go_p)
+    gd_out = _where3(a3f, (zero, zero, zero), gd_p)
+    gT2 = _where3(a3f, gT_p, (zero, zero, zero))
+    gT0 = _where3(a3f, (zero, zero, zero), gT_p)
+    w_eff = tuple(jnp.where(alive2, w3[c], 1.0) for c in range(3))
+    gT1 = tuple(gT2[c] * w_eff[c] for c in range(3))
+    # albedo grad from the throughput weight (per channel, row = mat).
+    a_bar = tuple(jnp.where(alive2, gT2[c] * T1[c] * ck, 0.0)
+                  for c in range(3))
+    e_bar = (zero, zero, zero)  # emission grad, row = mat
+    en_bar = (zero, zero, zero)  # emission grad via NEE l_e, row = s_mat
+    gn = (zero, zero, zero)  # cotangent of the (unit) main-hit normal
+    s_mat = zero - 1.0
+
+    if nee and has_lights:
+        u_pick, u1, u2, _ = _pcg4d_uniform4(lane, ctr0 + _NEE, seed)
+        total_area = misc_ref[0, 3]
+        roulette = total_area * u_pick
+        li = jnp.zeros((SUB, LANE), jnp.float32)
+        for row in range(nl):
+            li = li + jnp.where(lt_ref[row, 14] < roulette, 1.0, 0.0)
+        li = jnp.clip(li, 0.0, float(nl - 1))
+        l_is_tri = zero
+        lp0 = (zero, zero, zero)
+        le1 = (zero, zero, zero)
+        le2 = (zero, zero, zero)
+        lc = (zero, zero, zero)
+        lr = zero
+        for row in range(nl):
+            sel = li == float(row)
+            l_is_tri = jnp.where(sel, lt_ref[row, 0], l_is_tri)
+            lp0 = _where3(sel, (lt_ref[row, 1], lt_ref[row, 2], lt_ref[row, 3]), lp0)
+            le1 = _where3(sel, (lt_ref[row, 4], lt_ref[row, 5], lt_ref[row, 6]), le1)
+            le2 = _where3(sel, (lt_ref[row, 7], lt_ref[row, 8], lt_ref[row, 9]), le2)
+            lc = _where3(sel, (lt_ref[row, 10], lt_ref[row, 11], lt_ref[row, 12]), lc)
+            lr = jnp.where(sel, lt_ref[row, 13], lr)
+        mn = jnp.minimum(u1, u2)
+        mx = jnp.maximum(u1, u2)
+        p_tri = _add(
+            _add(_scale(lp0, mn), _scale(_add(lp0, le1), 1.0 - mx)),
+            _scale(_add(lp0, le2), mx - mn),
+        )
+        phi_l = 2.0 * PI * u1
+        z = u2 * 2.0 - 1.0
+        zs = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        p_sph = _add(lc, _scale((jnp.cos(phi_l) * zs, jnp.sin(phi_l) * zs, z), lr))
+        lpoint = _where3(l_is_tri > 0.0, p_tri, p_sph)
+
+        path3 = _sub(lpoint, pos3)
+        Q = _dot(path3, path3)
+        dist = jnp.sqrt(jnp.maximum(Q, 0.0))
+        D = jnp.maximum(dist, 1e-20)
+        wi3 = _scale(path3, 1.0 / D)
+        pn3 = on3  # orienting normal == sigma * n
+        cos_p = _dot(wi3, pn3)
+        ok = cos_p > 0.0
+        ok = ok & (_dot(m_s["emi"], m_s["emi"]) <= 0.0)
+        s_t, s_hit, s_mat, s_n3, s_sc3, s_sph = _intersect_all(
+            tt_ref, st_ref, pos3, wi3, dist + 2.0 * EPS, nt, ns
+        )
+        s_pos3, s_n3 = _shade_winner(pos3, wi3, s_t, s_hit, s_n3, s_sc3,
+                                     s_sph, ns)
+        visible = s_hit & (jnp.abs(s_t - dist) <= EPS)
+        ok = ok & visible
+        lcos = _dot(_neg(wi3), s_n3)
+        ok = ok & (lcos > 0.0)
+        m_nee = alive2 & ok
+
+        Qg = jnp.maximum(Q, 1e-20)
+        g = cos_p * lcos / Qg
+        f1 = tuple(m["col"][c] * ck / PI for c in range(3))
+        sm = jnp.maximum(s_mat, 0.0)
+        le3 = (zero, zero, zero)
+        for row in range(nm):
+            sel = sm == float(row)
+            le3 = _where3(sel, (mte_ref[row, 4], mte_ref[row, 5], mte_ref[row, 6]), le3)
+        gp = g * total_area  # g / pdf_L
+
+        # accum contribution VJP
+        contrib = tuple(f1[c] * le3[c] * gp for c in range(3))
+        gT1 = tuple(
+            gT1[c] + jnp.where(m_nee, gA[c] * contrib[c], 0.0)
+            for c in range(3)
+        )
+        a_bar = tuple(
+            a_bar[c]
+            + jnp.where(m_nee, gA[c] * T1[c] * le3[c] * gp * ck / PI, 0.0)
+            for c in range(3)
+        )
+        en_bar = tuple(
+            jnp.where(m_nee, gA[c] * T1[c] * f1[c] * gp, 0.0)
+            for c in range(3)
+        )
+        gg = jnp.where(
+            m_nee,
+            (gA[0] * T1[0] * f1[0] * le3[0]
+             + gA[1] * T1[1] * f1[1] * le3[1]
+             + gA[2] * T1[2] * f1[2] * le3[2]) * total_area,
+            0.0,
+        )
+        # g = cos_p * lcos / Qg. Every cotangent is selected under m_nee:
+        # on miss lanes pos is +INF and the NEE intermediates are NaN, so
+        # the masked branch must never be the selected one.
+        msel = lambda x: jnp.where(m_nee, x, 0.0)
+        msel3 = lambda v: _where3(m_nee, v, (zero, zero, zero))
+        gcos_p = msel(gg * lcos / Qg)
+        glcos = msel(gg * cos_p / Qg)
+        gQ = msel(jnp.where(Q > 1e-20, -gg * cos_p * lcos / (Qg * Qg), 0.0))
+        gpath = msel3(_scale(path3, 2.0 * gQ))
+        gwi = _scale(pn3, gcos_p)
+        gn = _scale(wi3, gcos_p * sigma)  # via pn = sigma * n
+        gwi = msel3(_sub(gwi, _scale(s_n3, glcos)))  # lcos = -wi . s_n
+        gsn = msel3(_scale(wi3, -glcos))
+        if ns:
+            # Sphere shadow hit (sphere lights): s_n = normalize(s_pos - c),
+            # s_pos = pos + wi s_t, ds_t implicit-plane =>
+            # d s_pos = P (dpos + s_t dwi), P = I - wi s_n^T/(s_n.wi).
+            mask_ss = m_nee & (s_sph > 0.5)
+            us3 = _sub(s_pos3, s_sc3)
+            nu = _norm(us3)
+            gu = _norm_vjp(us3, s_n3, gsn, nu)
+            gu = _where3(mask_ss, gu, (zero, zero, zero))
+            den = _dot(s_n3, wi3)
+            inv_den = jnp.where(jnp.abs(den) > 1e-12, 1.0 / den, 0.0)
+            wdotgu = _dot(wi3, gu)
+            ptgu = _where3(
+                mask_ss, _sub(gu, _scale(s_n3, wdotgu * inv_den)),
+                (zero, zero, zero),
+            )
+            gpos = _add(gpos, ptgu)
+            gwi = _add(gwi, _scale(ptgu, s_t))
+        # wi = path / D
+        wdg = _dot(wi3, gwi)
+        gpath = _add(
+            gpath, msel3(_scale(_sub(gwi, _scale(wi3, wdg)), 1.0 / D))
+        )
+        gpos = _sub(gpos, gpath)  # path = lpoint - pos
+
+    # Emission term (thr0 * e on front faces, depth gating).
+    front = _dot(out3, n3) > 0.0
+    emit_mask = None
+    if nee:
+        if not no_direct_emitter:
+            emit_mask = alive1 & front & (bounce == 0)
+    else:
+        if no_direct_emitter:
+            emit_mask = alive1 & front & (bounce != 0)
+        else:
+            emit_mask = alive1 & front
+    if emit_mask is not None:
+        gT0 = tuple(
+            gT0[c] + jnp.where(emit_mask, gA[c] * m["emi"][c], 0.0)
+            for c in range(3)
+        )
+        e_bar = tuple(jnp.where(emit_mask, gA[c] * T0[c], 0.0)
+                      for c in range(3))
+
+    # Sky term.
+    gT0 = tuple(
+        gT0[c] + jnp.where(missed, gA[c] * sky3[c], 0.0) for c in range(3)
+    )
+    sky_bar = tuple(jnp.where(missed, gA[c] * T0[c], 0.0) for c in range(3))
+
+    # RR division (prob is DETACHED — no albedo grad through it).
+    gT0 = tuple(gT0[c] + gT1[c] * invp for c in range(3))
+
+    # Sampled-direction chain for sphere winners: d_lam is built on the
+    # ONB of on = sigma*n, and a sphere's n depends on pos — so the output
+    # d' cotangent flows d'_bar -> (u, v, on) -> n_bar -> pos_bar. (For
+    # triangle winners n is constant and the chain vanishes; the cos/pdf
+    # pair's OWN n-gradient cancels analytically — XLA evaluates the two
+    # canceling terms numerically, which turns into 1/cos^2 noise at
+    # grazing samples, and this kernel uses the exact zero instead.)
+    if ns:
+        gL = _where3(a3f, gd_p, (zero, zero, zero))
+        sq1r = jnp.sqrt(1.0 - r2)
+        gon = _scale(gL, sq1r)
+        gu = _scale(gL, cp * r2s)
+        gv = _scale(gL, sp_ * r2s)
+        # v = on x u:  on_bar += u x v_bar ; u_bar += v_bar x on
+        gon = _add(gon, _cross(u3b, gv))
+        gu = _add(gu, _cross(gv, on3))
+        # u = normalize(a x on), a piecewise-constant (EPS branch):
+        use_y = jnp.abs(on3[0]) > EPS
+        one = jnp.ones_like(zero)
+        a3 = (jnp.where(use_y, zero, one), jnp.where(use_y, one, zero), zero)
+        c3_ = _cross(a3, on3)
+        gc = _norm_vjp(c3_, u3b, gu, _norm(c3_))
+        gon = _add(gon, _cross(gc, a3))
+        gn = _add(gn, _scale(gon, sigma))
+
+    # Main-hit sphere normal chain (NEE pn + sampling ONB used n(pos)).
+    if ns:
+        mask_ms = is_sph > 0.5
+        um3 = _sub(pos3, sc3)
+        num = _norm(um3)
+        gum = _norm_vjp(um3, n3, gn, num)
+        gpos = _add(gpos, _where3(mask_ms, gum, (zero, zero, zero)))
+
+    # pos = o + d t; plane-equation t chain at the winner normal. t is
+    # +INF on miss lanes (whose gpos is zero) — clamp so 0 * INF never
+    # NaN-poisons the cotangents.
+    t_safe = jnp.where(hit, t, 0.0)
+    go_out = _add(go_out, gpos)
+    gd_out = _add(gd_out, _scale(gpos, t_safe))
+    gt = _dot(gpos, d3)
+    dn = _dot(d3, n3)
+    safe = hit & (jnp.abs(dn) > 1e-20)
+    ginv = jnp.where(safe, gt / jnp.where(safe, dn, 1.0), 0.0)
+    go_out = _sub(go_out, _scale(n3, ginv))
+    gd_out = _sub(gd_out, _scale(n3, ginv * t_safe))
+    if ns:
+        # Sphere winners: XLA differentiates t = -co.d - sqrt(det) AS
+        # WRITTEN, a formula valid only for unit d, so its dt/dd carries an
+        # extra RADIAL term vs the tangent-plane form:
+        #   dt/dd = t co/sq = -t n/(n.d) + t^2 d/(r (n.d)).
+        # The radial part is annihilated by the first normalize upstream
+        # (the camera ray normalization), so final gradients are identical
+        # either way — it is reproduced here for exact VJP parity with the
+        # XLA step. (dt/do has no such term; the two forms coincide.)
+        r_m = _norm(_sub(pos3, sc3))
+        rad = jnp.where(
+            safe & (is_sph > 0.5),
+            ginv * t_safe * t_safe / jnp.maximum(r_m, 1e-20),
+            0.0,
+        )
+        gd_out = _add(gd_out, _scale(d3, rad))
+
+    obx_ref[:], oby_ref[:], obz_ref[:] = go_out
+    dbx_ref[:], dby_ref[:], dbz_ref[:] = gd_out
+    tbx_ref[:], tby_ref[:], tbz_ref[:] = gT0
+
+    # Per-row material/sky gradients, reduced in-kernel to one 128-lane row
+    # per grid step (entry r*8+c: albedo c | r*8+3+c: emission c; sky at
+    # nm*8+c). Summed over grid steps by the caller.
+    # (8, 128) cross-grid accumulator (Mosaic requires 8-divisible sublane
+    # blocks; all grid steps map to the same output block, initialized at
+    # step 0 — the sequential-grid accumulation pattern). Only row 0 is
+    # populated; the caller sums over rows.
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0) == 0
+    place = lambda k: row0 & (lane_id == k)
+    row_out = jnp.zeros((8, LANE), jnp.float32)
+    mm = jnp.maximum(mat_f, 0.0)
+    for r in range(nm):
+        sel_r = mm == float(r)
+        for c in range(3):
+            va = jnp.sum(jnp.where(sel_r, a_bar[c], 0.0))
+            ve = jnp.sum(jnp.where(sel_r, e_bar[c], 0.0))
+            if nee and has_lights:
+                ve = ve + jnp.sum(
+                    jnp.where(jnp.maximum(s_mat, 0.0) == float(r),
+                              en_bar[c], 0.0)
+                )
+            row_out = row_out + jnp.where(place(r * 8 + c), va, 0.0)
+            row_out = row_out + jnp.where(place(r * 8 + 3 + c), ve, 0.0)
+    for c in range(3):
+        row_out = row_out + jnp.where(
+            place(nm * 8 + c), jnp.sum(sky_bar[c]), 0.0
+        )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gtab_ref[:] = row_out
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        gtab_ref[:] = gtab_ref[:] + row_out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_call(nt, ns, nm, nl, nee, has_lights, no_direct_emitter,
+                   depth, depth_limit, interpret):
+    kernel = functools.partial(
+        _bounce_bwd_kernel, nt=nt, ns=ns, nm=nm, nl=nl, nee=nee,
+        has_lights=has_lights, no_direct_emitter=no_direct_emitter,
+        depth=depth, depth_limit=depth_limit,
+    )
+
+    def call(bounce, seed_i32, tt, st, mts, mte, lt, misc, tiles):
+        rows = tiles[0].shape[0]
+        grid = (rows // SUB,)
+        smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        table = lambda a: pl.BlockSpec(
+            a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        tile = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        grow = pl.BlockSpec((8, LANE), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=(
+                [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                 for _ in range(9)]
+                + [jax.ShapeDtypeStruct((8, LANE), jnp.float32)]
+            ),
+            in_specs=(
+                [smem, smem]
+                + [table(a) for a in (tt, st, mts, mte, lt, misc)]
+                + [tile] * 23
+            ),
+            out_specs=[tile] * 9 + [grow],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            jnp.reshape(jnp.asarray(bounce, jnp.int32), (1, 1)),
+            jnp.reshape(seed_i32, (1, 1)),
+            tt, st, mts, mte, lt, misc, *tiles,
+        )
+
+    return call
+
+
+def make_step_diff(scene, settings, seed, mats_eval, interpret: bool = False):
+    """Differentiable bounce step: fused Pallas forward, hand-written
+    Pallas backward (Lambert-only scenes; see `supported_diff`).
+
+    jax.custom_vjp over (state, mats_eval, sky): the primal runs the fused
+    forward kernel (tables built from the live values — identical to the
+    detached sampling copies by construction of the detached-sampling
+    estimator); the backward runs ONE kernel pass that recomputes the
+    primal intermediates in VMEM and emits all input cotangents plus
+    per-row material/sky gradients. Residuals are just the input PathState
+    — no rematerialized XLA bounce exists anywhere on this path.
+    """
+    import dataclasses as _dc
+
+    from ..integrator.wavefront import PathState
+    from ..scene.data import MaterialTable, SkyData
+    from . import rng as rng_mod
+
+    nt = scene.geometry.tri_p0.shape[0]
+    ns = scene.geometry.sph_c.shape[0]
+    nm = scene.materials.type_id.shape[0]
+    nl = scene.lights.prim.shape[0]
+    nee = settings.integrator == "pt-direct"
+    fwd_call = _make_call(
+        nt, ns, nm, nl, nee, settings.has_lights,
+        settings.no_direct_emitter, settings.depth, settings.depth_limit,
+        (MAT_LAMBERT,), interpret,
+    )
+    bwd_call = _make_bwd_call(
+        nt, ns, nm, nl, nee, settings.has_lights,
+        settings.no_direct_emitter, settings.depth, settings.depth_limit,
+        interpret,
+    )
+    seed_i32 = jax.lax.bitcast_convert_type(
+        rng_mod._seed_u32(seed), jnp.int32
+    )
+
+    # FLAT custom_vjp signature (mirrors ops/pallas_bvh.py's proven
+    # structure): every traced value is an explicit jnp-array argument and
+    # every output a flat tuple. Pytree-dataclass args/outputs here made
+    # jit(grad(scan(...))) fail with "no constant handler for
+    # DynamicJaxprTracer" during lowering; the flat form does not.
+    # Gradients to the material/sky PARAMS route automatically through the
+    # table construction (_mat_table / _pack_tables concatenates) done
+    # outside the custom_vjp: the bwd returns a cotangent for the EVAL
+    # material table (albedo cols 1:4, emission cols 4:7) and for the misc
+    # row (sky color entries 0:3).
+
+    def _tiles_of(o, d, thr, alive, lane, extra, pad):
         def prep(a, fill=0.0):
             if pad:
                 a = jnp.concatenate(
@@ -897,26 +1457,105 @@ def make_step(scene, settings, seed, interpret: bool = False):
             return a
 
         to2d = lambda a: a.reshape(-1, LANE)
-        tiles = (
-            [to2d(prep(state.o[:, c])) for c in range(3)]
-            + [to2d(prep(state.d[:, c], 1.0)) for c in range(3)]
-            + [to2d(prep(state.throughput[:, c])) for c in range(3)]
-            + [to2d(prep(state.accum[:, c])) for c in range(3)]
-            + [to2d(prep(state.alive.astype(jnp.int32), 0))]
-            + [to2d(prep(jax.lax.bitcast_convert_type(state.lane, jnp.int32), 0))]
+        return (
+            [to2d(prep(o[:, c])) for c in range(3)]
+            + [to2d(prep(d[:, c], 1.0)) for c in range(3)]
+            + [to2d(prep(thr[:, c])) for c in range(3)]
+            + extra
+            + [to2d(prep(alive.astype(jnp.int32), 0))]
+            + [to2d(prep(jax.lax.bitcast_convert_type(lane, jnp.int32), 0))]
+        ), prep, to2d
+
+    @jax.custom_vjp
+    def f(o, d, thr, acc, alive, lane, bounce, sd, tt, st, mts, mte, lt,
+          misc):
+        n = o.shape[0]
+        pad = (-n) % PACKET
+        tiles, prep, to2d = _tiles_of(
+            o, d, thr, alive, lane, [], pad
         )
-        outs = call(state.bounce, seed_i32, *tables, tuple(tiles))
+        tiles = tiles[:9] + [to2d(prep(acc[:, c])) for c in range(3)] + tiles[9:]
+        outs = fwd_call(bounce, sd, tt, st, mts, mte, lt, misc,
+                        tuple(tiles))
         flat = [x.reshape(-1)[:n] for x in outs]
-        o = jnp.stack(flat[0:3], axis=-1)
-        d = jnp.stack(flat[3:6], axis=-1)
-        thr = jnp.stack(flat[6:9], axis=-1)
-        acc = jnp.stack(flat[9:12], axis=-1)
-        alive = flat[12] != 0
-        rays = state.rays_traced + jnp.sum(flat[13])
+        return (
+            jnp.stack(flat[0:3], axis=-1),  # o'
+            jnp.stack(flat[3:6], axis=-1),  # d'
+            jnp.stack(flat[6:9], axis=-1),  # thr'
+            jnp.stack(flat[9:12], axis=-1),  # acc'
+            flat[12] != 0,  # alive'
+            jnp.sum(flat[13]),  # rays traced this bounce
+        )
+
+    def fwd(o, d, thr, acc, alive, lane, bounce, sd, tt, st, mts, mte, lt,
+            misc):
+        outs = f(o, d, thr, acc, alive, lane, bounce, sd, tt, st, mts, mte,
+                 lt, misc)
+        return outs, (o, d, thr, alive, lane, bounce, sd, tt, st, mts, mte,
+                      lt, misc)
+
+    def bwd(res, g):
+        o, d, thr, alive, lane, bounce, sd, tt, st, mts, mte, lt, misc = res
+        g_o, g_d, g_t, g_a, _, _ = g
+        n = o.shape[0]
+        pad = (-n) % PACKET
+        tiles, prep, to2d = _tiles_of(o, d, thr, alive, lane, [], pad)
+        tiles = tiles + (
+            [to2d(prep(g_o[:, c])) for c in range(3)]
+            + [to2d(prep(g_d[:, c])) for c in range(3)]
+            + [to2d(prep(g_t[:, c])) for c in range(3)]
+            + [to2d(prep(g_a[:, c])) for c in range(3)]
+        )
+        outs = bwd_call(bounce, sd, tt, st, mts, mte, lt, misc,
+                        tuple(tiles))
+        flat = [x.reshape(-1)[:n] for x in outs[:9]]
+        ob = jnp.stack(flat[0:3], axis=-1)
+        db = jnp.stack(flat[3:6], axis=-1)
+        tb = jnp.stack(flat[6:9], axis=-1)
+        gt = outs[9].sum(axis=0)  # (128,) accumulated row grads
+        a_bar = jnp.stack(
+            [gt[jnp.arange(nm) * 8 + c] for c in range(3)], axis=-1
+        )
+        e_bar = jnp.stack(
+            [gt[jnp.arange(nm) * 8 + 3 + c] for c in range(3)], axis=-1
+        )
+        mte_bar = jnp.zeros_like(mte)
+        mte_bar = mte_bar.at[:, 1:4].set(a_bar).at[:, 4:7].set(e_bar)
+        misc_bar = jnp.zeros_like(misc).at[0, 0:3].set(
+            gt[nm * 8: nm * 8 + 3]
+        )
+
+        import numpy as _np
+
+        f0 = lambda x: _np.zeros(_np.shape(x), jax.dtypes.float0)
+        return (
+            ob, db, tb, g_a,
+            f0(alive), f0(lane), f0(bounce), f0(sd),
+            jnp.zeros_like(tt), jnp.zeros_like(st),
+            jnp.zeros_like(mts),  # sample table: detached by design
+            mte_bar, jnp.zeros_like(lt), misc_bar,
+        )
+
+    f.defvjp(fwd, bwd)
+
+    def step(state: PathState) -> PathState:
+        # Tables are built OUTSIDE the custom_vjp from the live params, so
+        # parameter gradients flow through the (ordinary, differentiable)
+        # table construction; the sample table comes from the scene's
+        # detached copy.
+        sc = _dc.replace(scene)
+        tt, st, mt_s, lt, misc = _pack_tables(sc, (MAT_LAMBERT,))
+        mt_e = _mat_table(mats_eval)
+        o, d, thr, acc, alive, rays = f(
+            state.o, state.d, state.throughput, state.accum, state.alive,
+            state.lane, state.bounce, seed_i32, tt, st, mt_s, mt_e, lt,
+            misc,
+        )
         return PathState(
             bounce=state.bounce + 1,
             o=o, d=d, throughput=thr, accum=acc, alive=alive,
-            rays_traced=rays, lane=state.lane,
+            rays_traced=state.rays_traced + rays, lane=state.lane,
         )
 
+    step.fused_diff = True
     return step

@@ -284,3 +284,297 @@ def test_fused_supported_gating(assets_dir):
     assert not pallas_bounce.supported(c2.data, c2.settings)  # 82k tris
     c3 = compile_scene_file(assets_dir / "welcome-geo.toml", spp=1)
     assert not pallas_bounce.supported(c3.data, c3.settings)  # IBL sky
+
+
+# ---------------------------------------------------------------------------
+# Hand-written backward kernel gates (ops/pallas_bounce.py make_step_diff)
+#
+# Two complementary gates, neither contaminated by chaotic trajectory
+# divergence (tiny f32 differences between two implementations compound
+# over bounces into discrete-decision flips — both sides stay unbiased but
+# full-render outputs cannot be compared lane-by-lane):
+#   1. SINGLE-bounce VJP parity: cotangents from the custom bwd kernel vs
+#      jax.vjp of the XLA step on the same fixed state (no accumulation).
+#   2. FD-vs-AD on the fused path ITSELF (test_fused_diff_*_fd): finite
+#      differences of the fused primal against the hand-VJP gradients —
+#      self-consistent, the same gate test_diff.py applies to the XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _xla_step_fn(scene, settings, seed):
+    from lumillyrender_tpu.integrator import wavefront
+
+    def run(state, mats, sky):
+        sc = dataclasses.replace(scene, sky=sky)
+        step = wavefront.make_bounce_step(sc, settings, seed,
+                                          mats_eval=mats, allow_fused=False)
+        return step(state)
+
+    return run
+
+
+def _zero_cotangent_like(state, rng):
+    import jax
+
+    f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+    r = lambda shape: jnp.asarray(
+        rng.normal(size=shape).astype(np.float32)
+    )
+    return PathState(
+        bounce=f0(state.bounce),
+        o=r(state.o.shape), d=r(state.d.shape),
+        throughput=r(state.throughput.shape), accum=r(state.accum.shape),
+        alive=f0(state.alive), rays_traced=jnp.float32(0.0),
+        lane=f0(state.lane),
+    )
+
+
+def _compare_bwd(compiled, tag, bounce=6):
+    """Single-bounce cotangent parity: custom bwd kernel vs XLA autodiff."""
+    import jax
+
+    from lumillyrender_tpu.diff.render import params_of
+    from lumillyrender_tpu.ops import bsdf
+
+    scene, settings = compiled.data, compiled.settings
+    assert pallas_bounce.supported_diff(scene, settings), tag
+    params = params_of(scene)
+    mats, sky = params.materials, params.sky
+    rng = np.random.default_rng(hash(tag) % (2**31) + 7)
+    parts = _random_state(rng, scene)
+    state = _mk_state(parts, bounce)
+    g = _zero_cotangent_like(state, rng)
+
+    xla_run = _xla_step_fn(scene, settings, SEED)
+    out_x, pull_x = jax.vjp(xla_run, state, mats, sky)
+
+    def pal_run(st, m, sk):
+        # The step closes over scene.sky — route the traced sky in by
+        # rebuilding the step on a scene carrying it (matches how
+        # render_diff passes the live sky via scene_s).
+        sc = dataclasses.replace(scene, sky=sk)
+        return pallas_bounce.make_step_diff(sc, settings, SEED, m,
+                                            interpret=True)(st)
+
+    out_p, pull_p = jax.vjp(pal_run, state, mats, sky)
+
+    # Primal discontinuity flips (tie/checker/NEE verdict) make those
+    # lanes' cotangents incomparable. Every backward contribution is
+    # LINEAR in that lane's incoming cotangent, so zeroing the cotangents
+    # on flip lanes BEFORE the pullback removes their influence from the
+    # table-gradient sums on BOTH sides — the comparison is then tight,
+    # with no leakage allowance. Detection thresholds are deliberately
+    # over-inclusive (near-boundary lanes excluded too).
+    ox, op = np.asarray(out_x.o), np.asarray(out_p.o)
+    scale = np.abs(ox).max() + 1.0
+    tie = (np.abs(ox - op).max(axis=1) / scale) > 1e-5
+    ck_flip = np.asarray(
+        bsdf.checker(jnp.asarray(ox[:, 0]), jnp.asarray(ox[:, 2]))
+    ) != np.asarray(
+        bsdf.checker(jnp.asarray(op[:, 0]), jnp.asarray(op[:, 2]))
+    )
+    acc_x, acc_p = np.asarray(out_x.accum), np.asarray(out_p.accum)
+    nee_flip = (
+        np.abs(acc_x - acc_p) / np.maximum(np.abs(acc_x), 1.0)
+    ).max(axis=1) > 1e-4
+    thr_x, thr_p = np.asarray(out_x.throughput), np.asarray(out_p.throughput)
+    thr_flip = (
+        np.abs(thr_x - thr_p) / np.maximum(np.abs(thr_x), 1.0)
+    ).max(axis=1) > 1e-4
+    # Grazing-sample lanes: the XLA backward evaluates the analytically
+    # canceling cos/pdf gradient pair numerically, which is 1/cos^2
+    # cancellation NOISE for |cos| ~ 0 (the hand-VJP uses the exact zero).
+    # Those lanes' XLA cotangents are garbage by construction — excluded.
+    from lumillyrender_tpu.ops.intersect import intersect_shade_brute
+
+    _, sp_hit = intersect_shade_brute(state.o, state.d, scene.geometry)
+    cos_out = np.abs(
+        np.sum(np.asarray(out_x.d) * np.asarray(sp_hit.normal), axis=1)
+    )
+    grazing = np.asarray(out_x.alive) & (cos_out < 3e-2)
+    keep = ~(tie | ck_flip | nee_flip | thr_flip | grazing)
+    assert keep.mean() > 0.85, f"{tag}: only {keep.mean():.0%} comparable"
+
+    mask = jnp.asarray(keep)[:, None].astype(jnp.float32)
+    g_masked = g._replace(
+        o=g.o * mask, d=g.d * mask, throughput=g.throughput * mask,
+        accum=g.accum * mask,
+    )
+    sb_x, mb_x, kb_x = pull_x(g_masked)
+    sb_p, mb_p, kb_p = pull_p(g_masked)
+
+    def cmp_lanes(a, b, name, rtol=8e-3):
+        a, b = np.asarray(a)[keep], np.asarray(b)[keep]
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        rel = np.abs(a - b) / denom
+        assert rel.max() < rtol, f"{tag}/{name}: rel {rel.max():.2e}"
+
+    cmp_lanes(sb_x.o, sb_p.o, "o_bar")
+    cmp_lanes(sb_x.d, sb_p.d, "d_bar")
+    cmp_lanes(sb_x.throughput, sb_p.throughput, "thr_bar")
+    cmp_lanes(sb_x.accum, sb_p.accum, "acc_bar")
+
+    def cmp_table(a, b, name, rtol=5e-3):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        rel = np.abs(a - b) / denom
+        assert rel.max() < rtol, f"{tag}/{name}: rel {rel.max():.2e}"
+
+    cmp_table(mb_x.color, mb_p.color, "albedo_bar")
+    cmp_table(mb_x.emission, mb_p.emission, "emission_bar")
+    cmp_table(kb_x.color, kb_p.color, "sky_bar")
+
+
+def test_fused_bwd_matches_xla_vjp_new_cbox(assets_dir):
+    c = compile_scene_file(assets_dir / "new-cbox.toml", spp=1)
+    _compare_bwd(c, "new-cbox")
+
+
+def test_fused_bwd_matches_xla_vjp_debug_nee(assets_dir):
+    """Sphere light: shadow-hit sphere-normal cotangent chain."""
+    c = compile_scene_file(assets_dir / "debug-nee.toml", spp=1)
+    _compare_bwd(c, "debug-nee")
+
+
+def test_fused_bwd_matches_xla_vjp_primitive(assets_dir):
+    """Pure pt: sky cotangents + main-hit sphere-normal chain."""
+    c = compile_scene_file(assets_dir / "primitive.toml", spp=1)
+    _compare_bwd(c, "primitive")
+
+
+LAMBERT_DIFF_SCENE = """
+[renderer]
+samples = 4
+integrator = "pt-direct"
+depth = 3
+depth-limit = 8
+
+[film]
+resolution = [12, 12]
+output = "png"
+
+[sky]
+type = "uniform"
+color = [0.4, 0.5, 0.6]
+
+[camera]
+type = "ideal-pinhole"
+fov = 45
+[[camera.transform]]
+type = "look-at"
+origin = [165, 0, 135]
+target = [165, 0, 165]
+up = [0, 1, 0]
+
+[[light]]
+type = "area"
+object = "lamp"
+emission = [6, 5, 4]
+
+[[object]]
+name = "lamp"
+mesh = "ball"
+material = "black"
+[[object.transform]]
+type = "translate"
+vector = [165, 9, 165]
+
+[[object]]
+mesh = "ball"
+material = "diffuse"
+[[object.transform]]
+type = "translate"
+vector = [163, 0, 165]
+
+[[object]]
+mesh = "ball"
+material = "gray"
+[[object.transform]]
+type = "translate"
+vector = [168, 0, 168]
+
+[[material]]
+name = "black"
+type = "lambert"
+albedo = [0, 0, 0]
+
+[[material]]
+name = "diffuse"
+type = "lambert"
+albedo = [0.6, 0.45, 0.3]
+
+[[material]]
+name = "gray"
+type = "lambert"
+albedo = [0.5, 0.5, 0.5]
+
+[[mesh]]
+name = "ball"
+type = "sphere"
+radius = 2
+"""
+
+
+def _fused_scene(max_bounces=5, spp=4):
+    c = compile_scene(parse_config(LAMBERT_DIFF_SCENE), spp=spp)
+    c.settings = dataclasses.replace(c.settings, max_bounces=max_bounces,
+                                     fused="on")
+    assert pallas_bounce.supported_diff(c.data, c.settings)
+    return c
+
+
+def test_fused_diff_albedo_fd():
+    from test_diff import _set_mat, fd_vs_ad
+
+    c = _fused_scene()
+    g_ad, _ = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.materials.color[1, 0],
+        set_leaf=lambda p, v: _set_mat(p, "color", (1, 0), v),
+        eps=2e-2, atol=2e-4, rtol=0.08,
+    )
+    assert g_ad > 0
+
+
+def test_fused_diff_emission_fd():
+    from test_diff import _set_mat, fd_vs_ad
+
+    c = _fused_scene()
+    g_ad, _ = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.materials.emission[0, 1],
+        set_leaf=lambda p, v: _set_mat(p, "emission", (0, 1), v),
+        eps=0.5, atol=1e-5, rtol=0.05,
+    )
+    assert g_ad > 0
+
+
+def test_fused_diff_sky_fd():
+    import jax.numpy as jnp
+
+    from test_diff import fd_vs_ad
+
+    def set_sky(p, v):
+        sky = dataclasses.replace(p.sky, color=p.sky.color.at[1].set(v))
+        return p._replace(sky=sky)
+
+    c = _fused_scene()
+    g_ad, _ = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.sky.color[1],
+        set_leaf=set_sky,
+        eps=5e-2, atol=1e-5, rtol=0.05,
+    )
+    assert g_ad > 0
+
+
+def test_fused_diff_camera_fd():
+    from test_diff import _set_cam, fd_vs_ad
+
+    c = _fused_scene(max_bounces=3)
+    fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.camera.aperture_position[2],
+        set_leaf=lambda p, v: _set_cam(p, "aperture_position", 2, v),
+        eps=5e-2, atol=2e-3, rtol=0.25,
+    )

@@ -289,3 +289,28 @@ def test_resolve_streamed_auto_selection(monkeypatch):
     # Node table too big -> no pallas at all.
     monkeypatch.setattr(pallas_bvh, "NODE_VMEM_BYTES", 1)
     assert intersect._resolve(geom, bvh, "auto") == "bvh"
+
+
+@pytest.mark.parametrize("streamed", [False, True])
+def test_reordered_traversal_is_exact(streamed):
+    """Ray reordering (sort by octant|Morton before the packet kernel,
+    inverse-permute after) must be EXACT: each lane still tests a superset
+    of its own subtree's leaves with identical per-triangle arithmetic, so
+    t/prim/shade outputs are bit-equal to the unordered call."""
+    geom, raw = _scene(tris=257)
+    arrays = build_tri_bvh(*raw[:3], tri_n=raw[3], tri_mat=raw[4],
+                           max_leaf=16)
+    bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    o, d = _rays(2048, seed=9)
+    h0, sp0 = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=streamed, reorder=False,
+    )
+    h1, sp1 = intersect_bvh(
+        o, d, geom, bvh, want_shade=True, use_pallas=True,
+        pallas_interpret=True, pallas_streamed=streamed, reorder=True,
+    )
+    assert (np.asarray(h0.prim) == np.asarray(h1.prim)).all()
+    assert (np.asarray(h0.t) == np.asarray(h1.t)).all()
+    assert (np.asarray(sp0.mat) == np.asarray(sp1.mat)).all()
+    assert (np.asarray(sp0.normal) == np.asarray(sp1.normal)).all()

@@ -121,8 +121,12 @@ def main():
     }
 
     backends = [
+        ("pallas-sorted", dict(use_pallas=True, pallas_streamed=True,
+                               pallas_interpret=args.interpret,
+                               reorder=True)),
         ("pallas-streamed", dict(use_pallas=True, pallas_streamed=True,
-                                 pallas_interpret=args.interpret)),
+                                 pallas_interpret=args.interpret,
+                                 reorder=False)),
         ("xla-walk", dict()),
     ]
 
@@ -155,7 +159,8 @@ def main():
             out["cases"][f"{case}/{name}"] = {"mrays_per_s": mrps}
             print(f"{case:10s} {name:15s} {mrps:9.2f} M rays/s", flush=True)
 
-        # per-lane parity streamed vs walk (prim flips only at t-ties)
+        # per-lane parity streamed+sorted vs walk (prim flips only at
+        # t-ties; the sort is exact — see intersect_bvh)
         h_s = jax.jit(lambda o, d: intersect_bvh(
             o, d, geom, bvh, use_pallas=True, pallas_streamed=True,
             pallas_interpret=args.interpret))(o, d)

@@ -51,9 +51,14 @@ def main():
     params = params_of(scene)
     target = jnp.zeros((RESOLUTION, RESOLUTION, 3), jnp.float32)
 
+    # XLA-autodiff path variants (fused="off") plus the hand-VJP fused
+    # Pallas path ("fused-hand-vjp", Lambert scenes; bwd_remat is bypassed
+    # there — the custom VJP needs no remat at all).
+    variants = [(m, dataclasses.replace(base, bwd_remat=m, fused="off"))
+                for m in ("isect", "isect+samp", "none", "full", "hybrid")]
+    variants.append(("fused-hand-vjp", dataclasses.replace(base, fused="auto")))
     results = {}
-    for mode in ("isect", "isect+samp", "none", "full", "hybrid"):
-        settings = dataclasses.replace(base, bwd_remat=mode)
+    for mode, settings in variants:
 
         @partial(jax.jit, static_argnames=())
         def train_step(scene, params, seed, settings=settings):
