@@ -1404,13 +1404,16 @@ def make_step_diff(scene, settings, seed, mats_eval, interpret: bool = False):
     """Differentiable bounce step: fused Pallas forward, hand-written
     Pallas backward (Lambert-only scenes; see `supported_diff`).
 
-    jax.custom_vjp over (state, mats_eval, sky): the primal runs the fused
-    forward kernel (tables built from the live values — identical to the
-    detached sampling copies by construction of the detached-sampling
-    estimator); the backward runs ONE kernel pass that recomputes the
-    primal intermediates in VMEM and emits all input cotangents plus
-    per-row material/sky gradients. Residuals are just the input PathState
-    — no rematerialized XLA bounce exists anywhere on this path.
+    A flat-signature jax.custom_vjp (every traced value an explicit array
+    argument; pytree args broke jit(grad(scan)) lowering): the primal runs
+    the fused forward kernel; the backward runs ONE kernel pass that
+    recomputes the primal intermediates in VMEM and emits all input
+    cotangents plus per-row material/sky gradients (accumulated across the
+    sequential grid). Residuals are just the input state — no
+    rematerialized XLA bounce exists anywhere on this path. Parameter
+    gradients route through the ordinary table construction done in
+    `step` (the custom bwd returns cotangents for the EVAL material table
+    and the misc row; the SAMPLE table is detached by design).
     """
     import dataclasses as _dc
 

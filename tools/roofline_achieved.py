@@ -220,7 +220,7 @@ def main():
         rng_label, rng_ops = "rng (4x threefry2x32)", 4 * OPS_RNG2
     add(rng_label, dt, rng_ops, 4, "per-bounce budget")
 
-    step = make_bounce_step(scene, c.settings, 0)
+    step = make_bounce_step(scene, c.settings, 0, allow_fused=False)
     st = PathState(
         bounce=jnp.int32(0), o=o, d=d, throughput=jnp.ones((N, 3)),
         accum=jnp.zeros((N, 3)), alive=jnp.ones((N,), bool),
@@ -234,7 +234,23 @@ def main():
     dt = timeit_scan(full_body, st)
     # Bounce = 2 nearest-hit queries (path + shadow) + BSDF + NEE + RNG.
     ops = 2 * (T * (OPS_TRI_MT + OPS_TRI_FOLD) + S * OPS_SPH) + OPS_BSDF + OPS_NEE_LOCAL + 5 * OPS_RNG2
-    add("full bounce step (NEE)", dt, ops, 3 * 28, "2 rays/lane/bounce")
+    add("full bounce step (XLA)", dt, ops, 3 * 28, "2 rays/lane/bounce")
+
+    # Fused Pallas bounce step (round 4): the whole transition in one
+    # kernel — the answer to the XLA row's layout/bookkeeping verdict.
+    from lumillyrender_tpu.ops import pallas_bounce
+
+    if pallas_bounce.enabled(scene, c.settings):
+        step_f = pallas_bounce.make_step(scene, c.settings, 0)
+
+        def fused_body(s):
+            s = step_f(s)
+            return s._replace(bounce=jnp.int32(0),
+                              alive=jnp.ones((N,), bool))
+
+        dt = timeit_scan(fused_body, st)
+        add("full bounce step (fused)", dt, ops, 3 * 28,
+            "one Pallas program")
 
     # ---- backward decomposition (VERDICT r2 weak #4) ---------------------
     # (a) VJP of ONE bounce step: loss-form forward vs value_and_grad over
