@@ -27,10 +27,15 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 SPP_CHUNK = 32
-MEASURE_CHUNKS = 5
+# Steady-state windows: the ~25 ms axon-tunnel dispatch latency must be
+# amortized over enough queued work or it reads as compute (measured:
+# fwd 268 -> 296 M rays/s going 5 -> 20 chunks; fwd+bwd 65 -> 93 M going
+# 3 -> 16 steps). Production renders run hundreds of chunks and training
+# runs thousands of steps, so steady state is the honest number.
+MEASURE_CHUNKS = 20
 RESOLUTION = 256
 BWD_SPP = 4  # fwd+bwd wavefront: 256^2 x 4 spp per step
-BWD_STEPS = 3
+BWD_STEPS = 16
 
 
 def main() -> None:
