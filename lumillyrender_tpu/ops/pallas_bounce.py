@@ -54,7 +54,11 @@ from ..scene.data import (
     SKY_UNIFORM,
 )
 
-SUB = 8
+# Sublanes per ray tile. 8 is the Mosaic minimum; larger tiles amortize
+# per-grid-step overhead. Measured on the flagship 20-chunk bench:
+# SUB=8 289, 16 316, 32 330, 64 329, 128 322 M rays/s -> 32 ships.
+# Override with LLR_FUSED_SUB for experiments.
+SUB = int(os.environ.get("LLR_FUSED_SUB", "32"))
 LANE = 128
 PACKET = SUB * LANE
 
