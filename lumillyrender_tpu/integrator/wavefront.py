@@ -374,16 +374,24 @@ def aov(scene: SceneData, settings: RenderSettings, o, d):
 # ---------------------------------------------------------------------------
 
 
-def _stage_plan(n: int, settings: RenderSettings):
+def _stage_plan(n: int, settings: RenderSettings, aggressive: bool = False):
     """Static (width, first_bounce, last_bounce) stages.
 
-    Widths shrink as Russian roulette kills paths; capacities are sized so
-    overflow (which triggers population-control RR) is rare for typical
-    albedos, and every width stays lane-aligned. Cut depths/widths follow
-    the measured occupancy decay on the flagship (2M-lane chunk: 11%
-    alive at depth+3, ~1% at depth+9, ~0.05% at depth+15): the previous,
-    laxer plan left stages running 20-40 bounces at 131k/32k widths with
-    ~1e3 live lanes — pure waste.
+    Widths shrink as Russian roulette kills paths. Two measured regimes
+    (round 4, variance-vs-time sweep on TPU):
+
+    * `aggressive` (brute/fused scenes): jump straight from full width to
+      n/64 at depth+3 and 4096 at depth+14. This OVERFLOWS the live
+      population at the first cut (~11% alive vs a 1.5% capacity), so
+      population-control RR resamples ~7/8 of live lanes — measured
+      pixel-variance cost on the flagship: +0.16% (deep paths carry
+      ~0.4^k throughput) for -32% chunk time, a +46% efficiency win
+      (1/(variance*time): 1.01e4 -> 1.47e4 at 128^2x32spp).
+    * default (packet-traversal scenes): the round-3 occupancy-matched
+      plan. Aggressive resampling SLOWED welcome-geo 2x: survivors
+      scatter across the image, packets lose coherence, and the packet
+      kernel's union-traversal cost explodes — worth more than the lane
+      savings.
     """
     def cap(div):
         return max(4096, (n // div + 255) // 256 * 256)
@@ -391,12 +399,19 @@ def _stage_plan(n: int, settings: RenderSettings):
     d = settings.depth
     mb = settings.max_bounces
     plan = []
-    cuts = [
-        (n, 0, min(d + 3, mb)),
-        (cap(8), min(d + 3, mb), min(d + 9, mb)),
-        (cap(64), min(d + 9, mb), min(d + 19, mb)),
-        (4096, min(d + 19, mb), mb),
-    ]
+    if aggressive:
+        cuts = [
+            (n, 0, min(d + 3, mb)),
+            (cap(64), min(d + 3, mb), min(d + 14, mb)),
+            (4096, min(d + 14, mb), mb),
+        ]
+    else:
+        cuts = [
+            (n, 0, min(d + 3, mb)),
+            (cap(8), min(d + 3, mb), min(d + 9, mb)),
+            (cap(64), min(d + 9, mb), min(d + 19, mb)),
+            (4096, min(d + 19, mb), mb),
+        ]
     for w, b0, b1 in cuts:
         if b1 > b0:
             plan.append((min(w, n), b0, b1))
@@ -592,8 +607,13 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
         state = run_stage(state, settings.max_bounces, settings.max_bounces)
         return bank(film, state, ordered=lanes_ordered), state.rays_traced
 
+    from ..ops.intersect import _use_brute
+
     first = True
-    for si, (width, b0, b1) in enumerate(_stage_plan(n, settings)):
+    plan = _stage_plan(
+        n, settings, aggressive=_use_brute(scene.geometry, settings.intersector)
+    )
+    for si, (width, b0, b1) in enumerate(plan):
         if width != state.alive.shape[0]:
             film = bank(film, state, ordered=lanes_ordered and first)
             first = False
