@@ -380,7 +380,8 @@ radius = 50
     # 256 slots; most paths are alive at bounce 2, so alive/width ~ 10.
     n_lanes = 16 * 16 * 16
     forced = ((n_lanes, 0, 2), (256, 2, c.settings.max_bounces))
-    monkeypatch.setattr(wavefront, "_stage_plan", lambda n, s: forced)
+    monkeypatch.setattr(wavefront, "_stage_plan",
+                    lambda n, s, **kw: forced)
 
     # Falsifiability guard: ONE eager (unjitted) trace with a spying
     # _compact proves the alive population actually exceeds the forced
