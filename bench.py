@@ -119,6 +119,11 @@ def main() -> None:
 
     loss, rays = train_step(scene, params, 100)
     float(loss)  # warm-up + compile
+    # Settle: a few pipelined steps drain any tunnel backlog left by the
+    # forward phase (measured: skipping this reads 70-82 M where the
+    # steady state is 88-96 M).
+    settle = [train_step(scene, params, 90 + i)[0] for i in range(4)]
+    float(settle[-1])
     # Steps pipeline like a real optimizer loop (params stay on device);
     # one sync after the last step.
     t0 = time.monotonic()

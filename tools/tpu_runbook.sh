@@ -14,4 +14,31 @@ run bigmesh      5400 python tools/bench_bigmesh.py --tris 1000000
 run crossover    5400 python tools/sweep_crossover.py --shape blob --json sweep_crossover.json
 run tileorder    3600 python tools/probe_tile_order.py
 run detail       7200 python tools/bench_detail.py
+run fused        3600 python tools/bench_fused.py
+run bwd          3600 python tools/bench_bwd.py
+run brutekern    3600 python tools/bench_brute_vs_kernel.py
 echo "runbook done"
+
+# --- Mosaic/Pallas findings bank (established empirically, round 4) -----
+# * No uint32<->f32 casts in Mosaic kernels: run RNG in int32 (wrapping
+#   mul/add/xor identical; logical >> = arithmetic >> + mask).
+# * Bool tiles cannot be materialized (i8<->i1 trunc errors): carry flags
+#   as f32 0/1, never jnp.where into a stored bool, no bool.astype().
+# * Output block sublane dims must be 8-divisible: (1,128) rejected; use
+#   an (8,128) cross-grid accumulator (same block every grid step,
+#   init at program_id==0).
+# * f32 matmul on the MXU defaults to bf16 (rel err ~1e0 at scene
+#   scales!); precision=jax.lax.Precision.HIGHEST restores ~f32 quality.
+#   3D dot_general (R,16)x(16,SUB,LANE) lowers fine. BUT: a
+#   Pluecker-form MXU triangle intersector measured 0% faster than the
+#   unrolled VPU Moeller-Trumbore at 2M lanes (perfect winner agreement,
+#   t rel 8e-5) — the fused kernels are not MT-compute-bound.
+# * jit(grad(scan(custom_vjp))) fails with "no constant handler for
+#   DynamicJaxprTracer" when the custom_vjp takes PYTREE-dataclass args
+#   or closes over ANY traced value (even non-differentiated jit-arg
+#   tracers). Flat jnp-array signatures with every traced value an
+#   explicit argument (the ops/pallas_bvh.py pattern) lower fine.
+# * lax.cond over such a custom_vjp trips the same bug — scan the step
+#   directly (the fused kernel is mask-correct on dead lanes).
+# * Fused-kernel tile sweep (flagship, 20-chunk steady state):
+#   SUB=8 289, 16 316, 32 330, 64 329, 128 322 M rays/s.
