@@ -545,20 +545,11 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
 
     def run_stage(state, b1: int, n_steps: int):
         if differentiable:
-            if getattr(step, "fused_diff", False):
-                # No lax.cond skip around the custom_vjp kernel step: cond
-                # over a custom_vjp whose closure carries traced tables
-                # trips an XLA lowering bug ("no constant handler"), and
-                # the kernel is mask-correct (and cheap) on dead lanes.
-                def scan_step(s, _):
-                    return step(s), None
-            else:
-                def scan_step(s, _):
-                    s2 = jax.lax.cond(
-                        jnp.any(s.alive) & (s.bounce < b1), step,
-                        lambda x: x, s
-                    )
-                    return s2, None
+            def scan_step(s, _):
+                s2 = jax.lax.cond(
+                    jnp.any(s.alive) & (s.bounce < b1), step, lambda x: x, s
+                )
+                return s2, None
 
             # Per-bounce rematerialization policy (settings.bwd_remat),
             # measured on the 256^2 x 4 spp train step (BWD_REMAT.json,

@@ -58,7 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import EPS, INF
 
-SUB = int(os.environ.get("LLR_PALLAS_SUB", "8"))  # sublanes per packet
+# Sublanes per packet. Round-4 sweep (end-to-end M rays/s): sample.toml
+# SUB=8 34.3 / 16 37.4 / 32 34.3 / 64 28.5; welcome-geo 8 25.6 / 16 27.1;
+# streamed 60k sorted-coherent 8 1.65 / 16 2.31 — 16 wins everywhere
+# (amortizes the scalar node walk over a bigger tile before the union
+# penalty bites). Override with LLR_PALLAS_SUB.
+SUB = int(os.environ.get("LLR_PALLAS_SUB", "16"))  # sublanes per packet
 LANE = 128
 PACKET = SUB * LANE
 

@@ -39,7 +39,7 @@ def main() -> None:
 
     results = {}
 
-    def bench_fwd(name, scene_file, width, height, spp, reps=3, **overrides):
+    def bench_fwd(name, scene_file, width, height, spp, reps=12, **overrides):
         compiled = compile_scene_file(REPO / "assets" / scene_file, spp=spp)
         settings = dataclasses.replace(
             compiled.settings, width=width, height=height, **overrides
@@ -51,11 +51,17 @@ def main() -> None:
         film, rays = fn(compiled.data, 0, 0)
         sync(film)
         compile_s = time.monotonic() - t0
+        # Steady state: pipeline the reps (a per-rep float() sync would pay
+        # the ~25 ms tunnel dispatch every chunk) and settle first.
+        for i in range(3):
+            film, rays = fn(compiled.data, 90 + i, 0)
+        sync(film)
         t0 = time.monotonic()
-        total = 0.0
+        pend = []
         for i in range(reps):
             film, rays = fn(compiled.data, 1 + i, i * spp)
-            total += float(rays)
+            pend.append(rays)
+        total = sum(float(r) for r in pend)
         sync(film)
         dt = time.monotonic() - t0
         results[name] = {
@@ -66,7 +72,7 @@ def main() -> None:
         }
         print(f"{name}: {total/dt/1e6:.2f} Mrays/s (compile {compile_s:.0f}s)")
 
-    def bench_fwd_bwd(name, scene_file, width, height, spp, reps=3):
+    def bench_fwd_bwd(name, scene_file, width, height, spp, reps=12):
         """Full train step (render + L2 loss + material/camera grads).
         Rays counted with the SAME methodology as the forward rows: real
         traced rays (camera + live bounce + NEE shadow), via
@@ -104,12 +110,16 @@ def main() -> None:
         loss, rays = train_step(compiled.data, params, 0)
         sync(loss)
         compile_s = time.monotonic() - t0
+        for i in range(3):  # settle
+            loss, rays = train_step(compiled.data, params, 90 + i)
+        sync(loss)
         t0 = time.monotonic()
-        total = 0.0
+        pend = []
         for i in range(reps):
             loss, rays = train_step(compiled.data, params, 1 + i)
-            total += float(rays)
-        sync(loss)
+            pend.append((loss, rays))
+        total = sum(float(r) for _, r in pend)
+        sync(pend[-1][0])
         dt = time.monotonic() - t0
         results[name] = {
             "rays_per_s": total / dt,
