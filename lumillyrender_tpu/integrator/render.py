@@ -81,11 +81,28 @@ def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
     else:
         px, py = decode(lane % jnp.uint32(w * h))
 
-    # High counter so it never collides with bounce-loop slots.
-    u, v, u2, v2 = rng.uniform4(seed, glane, 0x40000000)
-    o, d, pdf, g = camera_ops.sample_rays(
-        scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
-    )
+    from ..ops import pallas_bounce
+
+    force_fused = getattr(settings, "fused", "auto") == "on"
+    if (
+        pallas_bounce.raygen_supported(settings)
+        and decode is not None
+        and n % pallas_bounce.PACKET == 0
+        and (pallas_bounce.on_tpu() or force_fused)
+    ):
+        # Fused Pallas ray generation (ideal pinhole, tiled pow2 films):
+        # bit-identical RNG + camera math, no lane arrays materialized.
+        o, d = pallas_bounce.generate_rays(
+            scene, settings, seed, sample_offset, n,
+            interpret=not pallas_bounce.on_tpu(),
+        )
+        pdf = g = jnp.ones((n,), jnp.float32)
+    else:
+        # High counter so it never collides with bounce-loop slots.
+        u, v, u2, v2 = rng.uniform4(seed, glane, 0x40000000)
+        o, d, pdf, g = camera_ops.sample_rays(
+            scene.camera, settings.camera_kind, px, py, w, h, u, v, u2, v2
+        )
 
     pixel_fn = None
     if decode is not None:

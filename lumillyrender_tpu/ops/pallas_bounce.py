@@ -1566,3 +1566,152 @@ def make_step_diff(scene, settings, seed, mats_eval, interpret: bool = False):
 
     step.fused_diff = True
     return step
+
+
+# ---------------------------------------------------------------------------
+# Fused camera ray generation (ideal pinhole, tiled power-of-two films)
+#
+# The last XLA stage of the fused forward path: per-chunk ray-gen (pixel
+# decode + pcg4d jitter + sensor math) measured ~4 ms at 2M lanes. This
+# kernel generates (o, d) tiles directly from the grid position — no lane
+# arrays are even read — with bit-identical RNG and identical camera math
+# to ops/camera.py:sample_rays (ideal pinhole: pdf = g = 1, quirk #11).
+# Gated to power-of-two film dims and tile sizes so every pixel decode is
+# shifts-and-masks (Mosaic has no fast vector integer division).
+# ---------------------------------------------------------------------------
+
+
+def _log2i(x: int) -> int:
+    return x.bit_length() - 1
+
+
+def raygen_supported(settings) -> bool:
+    from ..scene.data import CAM_IDEAL_PINHOLE
+
+    if getattr(settings, "fused", "auto") == "off":
+        return False
+    if os.environ.get("LLR_FUSED", "auto") == "0":
+        return False
+    if settings.camera_kind != CAM_IDEAL_PINHOLE:
+        return False
+    w, h = settings.width, settings.height
+    if w & (w - 1) or h & (h - 1):
+        return False
+    from ..integrator.render import _pow2_tile
+
+    tw, th = _pow2_tile(w), _pow2_tile(h)
+    if tw * th < 64:  # raster-order films keep the XLA path
+        return False
+    return True
+
+
+def _raygen_kernel(sc_ref, cam_ref, *out_refs, w: int, h: int, tw: int,
+                   th: int):
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = out_refs
+    seed = sc_ref[0, 0]  # int32 bit-pattern
+    sample_off = sc_ref[0, 1]
+    i = pl.program_id(0)
+    base = i * PACKET
+    lane_local = (
+        base
+        + jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0) * LANE
+        + jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    )
+    wh_mask = jnp.int32(w * h - 1)
+    pixel = lane_local & wh_mask
+    glane = lane_local + sample_off * (w * h)  # wraps like uint32
+
+    # Tile decode (integrator/render.py:tile_decode), shifts-and-masks.
+    ttl = _log2i(tw * th)
+    tile = pixel >> ttl
+    within = pixel & ((tw << _log2i(th)) - 1)
+    tpr = w // tw  # tiles per row (power of two)
+    px = ((tile & (tpr - 1)) << _log2i(tw)) + (within & (tw - 1))
+    py = ((tile >> _log2i(tpr)) << _log2i(th)) + (within >> _log2i(tw))
+
+    u, v, _, _ = _pcg4d_uniform4(glane, jnp.int32(0x40000000), seed)
+
+    # Ideal pinhole (ops/camera.py:sample_rays, camera.rs:100-119).
+    sw0, sh0 = cam_ref[0, 9], cam_ref[0, 10]
+    sx = ((px.astype(jnp.float32) + u) / w - 0.5) * sw0
+    sy = ((py.astype(jnp.float32) + v) / h - 0.5) * sh0
+    pos = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+    ap = (cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
+    right = (cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8])
+    up = (cam_ref[0, 11], cam_ref[0, 12], cam_ref[0, 13])
+    spx = pos[0] - right[0] * sx + up[0] * sy
+    spy = pos[1] - right[1] * sx + up[1] * sy
+    spz = pos[2] - right[2] * sx + up[2] * sy
+    ddx, ddy, ddz = ap[0] - spx, ap[1] - spy, ap[2] - spz
+    # Divide (not reciprocal-multiply): matches vec.normalize bit-for-bit,
+    # so films are identical to the XLA ray-gen path rather than merely
+    # close (a last-ulp d difference seeds chaotic per-lane divergence
+    # over 80 bounces).
+    nrm = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 0.0))
+    ox_ref[:] = jnp.full((SUB, LANE), 0.0) + ap[0]
+    oy_ref[:] = jnp.full((SUB, LANE), 0.0) + ap[1]
+    oz_ref[:] = jnp.full((SUB, LANE), 0.0) + ap[2]
+    dx_ref[:] = ddx / nrm
+    dy_ref[:] = ddy / nrm
+    dz_ref[:] = ddz / nrm
+
+
+@functools.lru_cache(maxsize=None)
+def _make_raygen_call(w, h, tw, th, interpret):
+    kernel = functools.partial(_raygen_kernel, w=w, h=h, tw=tw, th=th)
+
+    def call(n_lanes, seed_i32, sample_off, cam_row):
+        rows = n_lanes // LANE
+        grid = (rows // SUB,)
+        smem = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+        table = pl.BlockSpec(cam_row.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        tile = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        sc = jnp.stack(
+            [seed_i32, jnp.asarray(sample_off, jnp.int32)]
+        ).reshape(1, 2)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                       for _ in range(6)],
+            in_specs=[smem, table],
+            out_specs=[tile] * 6,
+            interpret=interpret,
+        )(sc, cam_row)
+
+    return call
+
+
+def generate_rays(scene, settings, seed, sample_offset, n_lanes,
+                  interpret: bool = False):
+    """(o, d) for `n_lanes` tile-ordered pinhole camera lanes — Pallas.
+
+    Drop-in for the XLA ray-gen in integrator/render.py when
+    `raygen_supported(settings)`; bit-identical RNG, identical math, so
+    films match the XLA path exactly (gated in tests)."""
+    from . import rng as rng_mod
+
+    cam = scene.camera
+    f32 = jnp.float32
+    cam_row = jnp.concatenate([
+        cam.position.astype(f32), cam.aperture_position.astype(f32),
+        cam.right.astype(f32), cam.sensor_size.astype(f32)[:2],
+        cam.up.astype(f32), jnp.zeros((2,), f32),
+    ]).reshape(1, 16)
+    seed_i32 = jax.lax.bitcast_convert_type(
+        rng_mod._seed_u32(seed), jnp.int32
+    )
+    from ..integrator.render import _pow2_tile
+
+    tw, th = _pow2_tile(settings.width), _pow2_tile(settings.height)
+    assert n_lanes % PACKET == 0
+    call = _make_raygen_call(settings.width, settings.height, tw, th,
+                             interpret)
+    outs = call(n_lanes, seed_i32, sample_offset, cam_row)
+    flat = [x.reshape(-1) for x in outs]
+    o = jnp.stack(flat[0:3], axis=-1)
+    d = jnp.stack(flat[3:6], axis=-1)
+    return o, d
