@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO))
 
 RESOLUTION = 256
 BWD_SPP = 4
-STEPS = 3
+STEPS = 12
 
 
 def main():
@@ -87,6 +87,9 @@ def main():
             print(f"{mode}: FAILED ({str(e)[:80]})")
             continue
         compile_s = time.monotonic() - t0
+        for i in range(3):  # settle (amortize tunnel dispatch)
+            loss, rays = train_step(scene, params, 90 + i)
+        float(loss)
         t0 = time.monotonic()
         pend = []
         for i in range(STEPS):
