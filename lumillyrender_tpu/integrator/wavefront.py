@@ -418,7 +418,8 @@ def _stage_plan(n: int, settings: RenderSettings, aggressive: bool = False):
     return tuple(plan)
 
 
-def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
+def _compact(state: PathState, width: int, seed, ctr: int,
+             salt=None) -> PathState:
     """Shrink the wavefront to `width` slots.
 
     When the live population fits (a <= width): prefix-sum scatter keeps
@@ -454,11 +455,17 @@ def _compact(state: PathState, width: int, seed, ctr: int) -> PathState:
     # No overflow: slot j <- the (j+1)-th live lane (prefix compaction).
     # Overflow: slot j <- the ceil((j+u)*a/width)-th live lane (systematic
     # resampling; marginal keep prob width/a, exactly width survivors).
-    # The grid jitter u is salted with the wavefront's first lane id —
-    # globally unique per chunk AND per device shard — so every chunk draws
-    # an independent offset; a fixed u would correlate survivor selection
-    # across the whole render (unbiased only in expectation over u).
-    u = rng.uniform(seed, state.lane[0] ^ jnp.uint32(0x5EED5EED), ctr)
+    # The grid jitter u is salted with the chunk's FIRST camera lane id
+    # (`salt`, threaded from trace_film before any resampling ran) —
+    # globally unique per chunk AND per device shard, and independent of
+    # the current alive pattern, which systematic resampling's
+    # unbiasedness argument requires. Reading post-compaction lane[0]
+    # instead (the old behavior, kept as fallback for direct callers)
+    # would make u a function of the live set at stages 2+.
+    if salt is None:
+        salt = state.lane[0]
+    u = rng.uniform(seed, jnp.asarray(salt, jnp.uint32)
+                    ^ jnp.uint32(0x5EED5EED), ctr)
     g = (j.astype(jnp.float32) + u) * (af / jnp.float32(width))
     r_over = jnp.ceil(g).astype(jnp.int32)
     r = jnp.where(overflow, r_over, j + 1)
@@ -567,6 +574,12 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
             #                where full residuals are cheap), "full"
             #                checkpoint on wide ones.
             mode = getattr(settings, "bwd_remat", "full")
+            if mode not in ("none", "full", "hybrid", "isect",
+                            "isect+samp"):
+                raise ValueError(
+                    f"unknown bwd_remat policy {mode!r}; expected one of "
+                    "'none', 'full', 'hybrid', 'isect', 'isect+samp'"
+                )
             if getattr(step, "fused_diff", False):
                 # custom_vjp bounce: its residuals are just the input carry
                 # (saved by the scan anyway) and its backward is one Pallas
@@ -614,7 +627,8 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
         if width != state.alive.shape[0]:
             film = bank(film, state, ordered=lanes_ordered and first)
             first = False
-            state = _compact(state, width, seed, 0x50000000 + si)
+            state = _compact(state, width, seed, 0x50000000 + si,
+                             salt=lane[0])
         state = run_stage(state, b1, b1 - b0)
     film = bank(film, state, ordered=lanes_ordered and first)
     return film, state.rays_traced

@@ -55,6 +55,26 @@ def test_threefry_mixer_traced_counter(monkeypatch):
     assert not np.allclose(np.asarray(f[0]), np.asarray(g[0]))
 
 
+def test_bwd_remat_typo_raises():
+    """A misspelled bwd_remat policy must error, not silently fall back."""
+    import dataclasses
+
+    import multihost_worker
+    import pytest
+
+    from lumillyrender_tpu.diff.render import params_of, render_diff
+    from lumillyrender_tpu.scene.compiler import compile_scene
+    from lumillyrender_tpu.scene.loader import parse_config
+
+    compiled = compile_scene(parse_config(multihost_worker.SCENE))
+    settings = dataclasses.replace(
+        compiled.settings, bwd_remat="issect", fused="off"
+    )
+    with pytest.raises(ValueError, match="bwd_remat"):
+        render_diff(compiled.data, settings, params_of(compiled.data),
+                    seed=3, spp=1)
+
+
 def test_threefry_mode_renders(monkeypatch):
     """LLR_RNG=threefry end-to-end render smoke (tiny scene)."""
     from lumillyrender_tpu.ops import rng

@@ -389,13 +389,13 @@ radius = 50
     overflowed = []
     orig_compact = wavefront._compact
 
-    def spy_compact(state, width, seed, ctr):
+    def spy_compact(state, width, seed, ctr, salt=None):
         import jax.numpy as jnp
 
         overflowed.append(
             float(jnp.sum(state.alive.astype(jnp.float32))) > width
         )
-        return orig_compact(state, width, seed, ctr)
+        return orig_compact(state, width, seed, ctr, salt=salt)
 
     monkeypatch.setattr(wavefront, "_compact", spy_compact)
     from lumillyrender_tpu.integrator.render import render_chunk_impl

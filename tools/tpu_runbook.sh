@@ -38,7 +38,10 @@ echo "runbook done"
 #   or closes over ANY traced value (even non-differentiated jit-arg
 #   tracers). Flat jnp-array signatures with every traced value an
 #   explicit argument (the ops/pallas_bvh.py pattern) lower fine.
-# * lax.cond over such a custom_vjp trips the same bug — scan the step
-#   directly (the fused kernel is mask-correct on dead lanes).
+# * The failing structure is specifically pytree-dataclass args /
+#   closed-over tracers on the custom_vjp, NOT lax.cond per se: the
+#   shipped diff path wraps the flat-signature fused step in lax.cond
+#   inside scan (wavefront.run_stage) and compiles fine on hardware
+#   (BWD_REMAT.json fused-hand-vjp, 90.8 M rays/s).
 # * Fused-kernel tile sweep (flagship, 20-chunk steady state):
 #   SUB=8 289, 16 316, 32 330, 64 329, 128 322 M rays/s.
