@@ -231,6 +231,327 @@ def make_ibl(models_dir: Path):
     write_hdr(ibl_dir / "test_sky.hdr", sky_col.astype(np.float32))
 
 
+def _hero_env(h, w, sun_dir, sun_e, sky_zenith, sky_horizon, ground,
+              sun_cos=0.9985, haze=0.0):
+    """Procedural equirect HDR: sun disc + sky gradient + ground hemisphere.
+
+    Substitute for the reference's gallery HDRIs (PaperMill_Ruins_E /
+    14-Hamarikyu_Bridge_B), which are external downloads the reference repo
+    does not ship either (`/root/reference/scenes/ridaisai-2018.toml:19`,
+    `welcome-2018.toml:16` point at `models/ibl/*.hdr` absent from the
+    tree). Radiometric scale chosen so exposure matches the gallery's look
+    (sun ~3 orders over sky)."""
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * np.pi
+    phi = u * 2 * np.pi - np.pi
+    st = np.sin(theta)[:, None]
+    y = np.cos(theta)[:, None] * np.ones((1, w))
+    dirs = np.stack(
+        [st * np.cos(phi)[None, :], y, st * np.sin(phi)[None, :]], axis=-1
+    )
+    sun_dir = np.asarray(sun_dir, float)
+    sun_dir /= np.linalg.norm(sun_dir)
+    t = np.clip(y, 0.0, 1.0)[..., None]
+    sky = (
+        np.asarray(sky_horizon) * (1.0 - t) + np.asarray(sky_zenith) * t
+    )
+    img = np.where(y[..., None] > 0.0, sky, np.asarray(ground) * 1.0)
+    # Soft horizon band + cloud-ish longitudinal variation.
+    band = np.exp(-((y / 0.08) ** 2))[..., None]
+    img = img + band * np.asarray(sky_horizon) * 0.5
+    wob = 0.15 * np.sin(3.0 * phi)[None, :, None] * np.maximum(y, 0)[..., None]
+    img = img * (1.0 + wob)
+    cos_sun = (dirs * sun_dir).sum(-1)
+    img = img + np.where(
+        cos_sun[..., None] > sun_cos, np.asarray(sun_e), 0.0
+    )
+    if haze > 0.0:  # forward-scattering glow around the sun
+        img = img + (
+            haze * np.clip(cos_sun, 0, 1)[..., None] ** 32 * np.asarray(sun_e)
+            * 0.02
+        )
+    return np.clip(img, 0.0, None).astype(np.float32)
+
+
+def make_hero_ibls(models_dir: Path):
+    """HDRIs for the two hero scenes (ridaisai / welcome)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from lumillyrender_tpu.io.image import write_hdr
+
+    ibl_dir = models_dir / "ibl"
+    ibl_dir.mkdir(parents=True, exist_ok=True)
+    # Warm late-afternoon ruins courtyard (PaperMill stand-in).
+    write_hdr(
+        ibl_dir / "paper_mill.hdr",
+        _hero_env(
+            256, 512,
+            sun_dir=[0.45, 0.35, -0.82], sun_e=[900.0, 720.0, 520.0],
+            sky_zenith=[0.35, 0.55, 1.0], sky_horizon=[1.1, 0.9, 0.7],
+            ground=[0.30, 0.24, 0.18], haze=1.0,
+        ),
+    )
+    # Overcast-bright waterside bridge (Hamarikyu stand-in).
+    write_hdr(
+        ibl_dir / "hamarikyu.hdr",
+        _hero_env(
+            256, 512,
+            sun_dir=[-0.3, 0.75, 0.59], sun_e=[400.0, 400.0, 380.0],
+            sky_zenith=[0.8, 0.9, 1.1], sky_horizon=[1.3, 1.3, 1.25],
+            ground=[0.12, 0.14, 0.12], sun_cos=0.995,
+        ),
+    )
+
+
+# Hero scene TOMLs: asset-complete equivalents of the reference's gallery
+# configurations, parameter-for-parameter (camera stack incl. the post
+# look-at axis-angle tilt, refraction materials, light joins) with repo
+# asset paths substituted for the unshipped external downloads.
+RIDAISAI_TOML = """\
+# Hero parity: /root/reference/scenes/ridaisai-2018.toml (the gallery's
+# most demanding config: thin-lens f/1.8 + IBL + two refractive bunny
+# meshes + pure pt + 2138x1536 hdr). HDRI is the procedural PaperMill
+# stand-in (tools/make_assets.py:make_hero_ibls).
+[renderer]
+samples = 4
+depth = 5
+depth-limit = 64
+no-direct-emitter = false
+threads = 0
+integrator = "pt"
+
+[film]
+resolution = [2138, 1536]
+output = "hdr"
+gamma = 2.2
+sensitivity = [1, 1, 1]
+
+[sky]
+type = "ibl"
+path = "models/ibl/paper_mill.hdr"
+longitude-offset = 6.0
+
+[camera]
+type = "thin-lens"
+fov = 39.3077
+focus-distance = 850
+f-number = 1.8
+[[camera.transform]]
+type = "look-at"
+origin = [278, 400, -600]
+target = [278, 400, 0]
+up = [0, 1, 0]
+[[camera.transform]]
+type = "axis-angle"
+axis = [1, 0, 0]
+angle = 20
+
+[[object]]
+mesh = "bunny"
+material = "translucent-orange"
+[[object.transform]]
+type = "axis-angle"
+axis = [0, 1, 0]
+angle = 185
+[[object.transform]]
+type = "scale"
+vector = [130, 130, 130]
+[[object.transform]]
+type = "translate"
+vector = [155, -6, 218]
+
+[[object]]
+mesh = "bunny"
+material = "translucent-black"
+[[object.transform]]
+type = "axis-angle"
+axis = [0, 1, 0]
+angle = 185
+[[object.transform]]
+type = "scale"
+vector = [130, 130, 130]
+[[object.transform]]
+type = "translate"
+vector = [355, -6, 218]
+
+[[object]]
+mesh = "quad"
+material = "white"
+[[object.transform]]
+type = "scale"
+vector = [400, 1, 400]
+[[object.transform]]
+type = "translate"
+vector = [278, 1, 278]
+
+[[material]]
+name = "white"
+type = "lambert"
+albedo = [0.740063, 0.742313, 0.733934]
+
+[[material]]
+name = "translucent-orange"
+type = "ideal-refraction"
+reflectance = [0.98, 0.90, 0.60]
+absorbtance = 0.1
+ior = 1.55
+
+[[material]]
+name = "translucent-black"
+type = "ideal-refraction"
+reflectance = [0.96, 0.96, 0.95]
+absorbtance = 0.5
+ior = 1.4
+
+[[mesh]]
+name = "bunny"
+type = "obj"
+path = "models/bunny/bunny.obj"
+
+[[mesh]]
+name = "quad"
+type = "obj"
+path = "models/simple/quad.obj"
+"""
+
+WELCOME_TOML = """\
+# Hero parity: /root/reference/scenes/welcome-2018.toml (GGX bunny in the
+# cbox under an IBL sky, bright off-scene quad light, thin-lens, hdr,
+# 2138x1536). HDRI is the procedural Hamarikyu stand-in.
+[renderer]
+samples = 64
+depth = 5
+depth-limit = 64
+no-direct-emitter = false
+threads = 0
+integrator = "pt-direct"
+
+[film]
+resolution = [2138, 1536]
+output = "hdr"
+gamma = 2.2
+sensitivity = [1, 1, 1]
+
+[sky]
+type = "ibl"
+path = "models/ibl/hamarikyu.hdr"
+
+[camera]
+type = "thin-lens"
+fov = 39.3077
+focus_distance = 1800
+f_number = 1.8
+[[camera.transform]]
+type = "look-at"
+origin = [278, 273, -1600]
+target = [278, 273, 0]
+up = [0, 1, 0]
+
+[[light]]
+type = "area"
+object = "light"
+emission = [2000, 1540, 1120]
+
+[[object]]
+mesh = "bunny"
+material = "glossy"
+[[object.transform]]
+type = "axis-angle"
+axis = [0, 1, 0]
+angle = 180
+[[object.transform]]
+type = "scale"
+vector = [130, 130, 130]
+[[object.transform]]
+type = "translate"
+vector = [255, -6, 278]
+
+[[object]]
+mesh = "cbox"
+
+[[object]]
+mesh = "quad"
+material = "white"
+[[object.transform]]
+type = "scale"
+vector = [550, 1, 550]
+[[object.transform]]
+type = "translate"
+vector = [278, 1, 278]
+
+[[object]]
+mesh = "quad"
+material = "white"
+[[object.transform]]
+type = "scale"
+vector = [550, 1, 550]
+[[object.transform]]
+type = "axis-angle"
+axis = [1, 0, 0]
+angle = -90
+[[object.transform]]
+type = "translate"
+vector = [278, -550, -272]
+
+[[object]]
+name = "light"
+mesh = "lightq"
+material = "black"
+[[object.transform]]
+type = "axis-angle"
+axis = [1, 0, 0]
+angle = 180
+[[object.transform]]
+type = "scale"
+vector = [100, 1, 100]
+[[object.transform]]
+type = "translate"
+vector = [1700, 2500, -1000]
+
+[[material]]
+name = "white"
+type = "lambert"
+albedo = [0.740063, 0.742313, 0.733934]
+
+[[material]]
+name = "glossy"
+type = "ggx"
+reflectance = [1.0, 1.0, 1.0]
+roughness = 0.8
+ior = 100000
+
+[[material]]
+name = "black"
+type = "lambert"
+albedo = [0, 0, 0]
+
+[[mesh]]
+name = "bunny"
+type = "obj"
+path = "models/bunny/bunny.obj"
+
+[[mesh]]
+name = "cbox"
+type = "obj"
+path = "models/simple/cbox.obj"
+
+[[mesh]]
+name = "quad"
+type = "obj"
+path = "models/simple/quad.obj"
+
+[[mesh]]
+name = "lightq"
+type = "obj"
+path = "models/simple/cbox_luminaire.obj"
+"""
+
+
+def make_hero_scenes(root: Path):
+    (root / "ridaisai.toml").write_text(RIDAISAI_TOML)
+    (root / "welcome.toml").write_text(WELCOME_TOML)
+
+
 def main(out_dir: str = "assets") -> None:
     root = Path(out_dir)
     models = root / "models"
@@ -238,6 +559,8 @@ def main(out_dir: str = "assets") -> None:
     n = make_bunny_substitute(models)
     nl = make_lamp_sphere(models)
     make_ibl(models)
+    make_hero_ibls(models)
+    make_hero_scenes(root)
     print(
         f"assets written to {root} (bunny substitute: {n} tris, "
         f"lamp sphere: {nl} tris)"
