@@ -69,7 +69,12 @@ PACKET = SUB * LANE
 
 # VMEM budget for fully-RESIDENT tables; past this the leaf blocks stream
 # from HBM (double-buffered DMA) while only the node table stays resident.
-VMEM_TABLE_BYTES = 12 * 1024 * 1024
+# v5e has 128 MiB VMEM; the round-5 sweep (tools/bench_resident_cap.py,
+# RESIDENT_CAP.json) measured the resident kernel healthy through ~88 MiB
+# tables (684k tris), so the cap leaves only ray tiles + XLA headroom.
+VMEM_TABLE_BYTES = int(
+    os.environ.get("LLR_BVH_VMEM", str(96 * 1024 * 1024))
+)
 # Node-table budget for the STREAMED variant (v5e has 128 MiB VMEM; leave
 # ample headroom for ray tiles, scratch and XLA temps). ~96k nodes.
 NODE_VMEM_BYTES = 48 * 1024 * 1024
@@ -166,24 +171,29 @@ def _leaf_test(bval, pval, mval, rays, out_refs, k: int, want_shade: bool):
             out_refs[3 + c][:] = carry[3 + c]
 
 
-def _kernel(nodes_ref, blk_ref, pm_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-            stop_ref, *out_refs, k: int, rpb: int, rpm: int,
-            want_shade: bool):
+def run_walk(nodes_ref, blk_ref, pm_ref, rays, t0, stop, out_refs, *,
+             k: int, rpb: int, rpm: int, want_shade: bool):
+    """Packet union traversal over a (SUB, LANE) ray tile, writing the
+    nearest hit into `out_refs` (t, prim[, mat, nx, ny, nz]).
+
+    Shared by the standalone traversal kernel below AND the fused
+    bounce-step kernel (ops/pallas_bounce.py), which calls it twice per
+    bounce (main ray + NEE shadow ray) with the tables resident in VMEM.
+    `stop` is the per-lane occlusion early-stop (-INF for nearest-hit).
+    """
     out_t_ref = out_refs[0]
     out_p_ref = out_refs[1]
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    stop = stop_ref[:]  # occlusion early-stop (-INF for nearest-hit)
+    ox, oy, oz, dx, dy, dz = rays
     # IEEE inf on zero components — same slab semantics as the XLA walk.
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    out_t_ref[:] = t0_ref[:]
-    out_p_ref[:] = jnp.full((SUB, LANE), -1, jnp.int32)
+    tile = t0.shape  # (SUB, LANE); the caller's SUB may differ from ours
+    out_t_ref[:] = t0
+    out_p_ref[:] = jnp.full(tile, -1, jnp.int32)
     if want_shade:
-        out_refs[2][:] = jnp.full((SUB, LANE), -1, jnp.int32)  # mat
+        out_refs[2][:] = jnp.full(tile, -1, jnp.int32)  # mat
         for r in out_refs[3:6]:
-            r[:] = jnp.zeros((SUB, LANE), jnp.float32)  # normal xyz
+            r[:] = jnp.zeros(tile, jnp.float32)  # normal xyz
 
     def nval(i, c):
         # Dynamic sublane + static lane: the one scalar-read shape Mosaic
@@ -237,6 +247,18 @@ def _kernel(nodes_ref, blk_ref, pm_ref,
         return jax.lax.select(anyhit & jnp.logical_not(is_leaf), cur + 1, miss)
 
     jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
+
+
+def _kernel(nodes_ref, blk_ref, pm_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+            stop_ref, *out_refs, k: int, rpb: int, rpm: int,
+            want_shade: bool):
+    run_walk(
+        nodes_ref, blk_ref, pm_ref,
+        (ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:]),
+        t0_ref[:], stop_ref[:], out_refs,
+        k=k, rpb=rpb, rpm=rpm, want_shade=want_shade,
+    )
 
 
 def _kernel_streamed(nodes_ref, blk_hbm, pm_hbm,
@@ -393,7 +415,13 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays2d, t0_2d, stop_2d, *, k, rpb,
         )
         blk_spec, pm_spec = table_spec(pk_blk), table_spec(pk_pm)
         scratch = []
-        vmem_limit = VMEM_TABLE_BYTES + 4 * 1024 * 1024
+        # Actual table footprint, not the admission cap: a small scene must
+        # not reserve the whole budget.
+        table_bytes = (
+            node_vmem_bytes_arr(pk_nodes)
+            + pk_blk.size * 4 + pk_pm.size * 4
+        )
+        vmem_limit = table_bytes + 4 * 1024 * 1024
     return pl.pallas_call(
         kernel,
         grid=grid,
