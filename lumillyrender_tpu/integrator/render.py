@@ -86,17 +86,28 @@ def render_chunk_impl(scene: SceneData, settings: RenderSettings, seed,
     force_fused = getattr(settings, "fused", "auto") == "on"
     if (
         pallas_bounce.raygen_supported(settings)
-        and decode is not None
         and n % pallas_bounce.PACKET == 0
         and (pallas_bounce.on_tpu() or force_fused)
     ):
-        # Fused Pallas ray generation (ideal pinhole, tiled pow2 films):
-        # bit-identical RNG + camera math, no lane arrays materialized.
-        o, d = pallas_bounce.generate_rays(
+        # Fused Pallas ray generation (pinhole / thin-lens / realistic
+        # pinhole; tiled pow2 or raster films): bit-identical RNG + camera
+        # math, no lane arrays materialized.
+        o, d, g_pl = pallas_bounce.generate_rays(
             scene, settings, seed, sample_offset, n,
             interpret=not pallas_bounce.on_tpu(),
         )
-        pdf = g = jnp.ones((n,), jnp.float32)
+        if g_pl is None:
+            pdf = g = jnp.ones((n,), jnp.float32)
+        else:
+            # Finite-aperture constant pdf (`camera.rs:411-445`); the
+            # per-lane geometry term comes from the kernel.
+            cam = scene.camera
+            pdf_s = 1.0 / (
+                cam.sensor_size[0] * cam.sensor_size[1] / (w * h)
+            )
+            pdf_a = 1.0 / (jnp.pi * cam.aperture_radius**2)
+            pdf = jnp.full((n,), pdf_s * pdf_a, jnp.float32)
+            g = g_pl
     else:
         # High counter so it never collides with bounce-loop slots.
         u, v, u2, v2 = rng.uniform4(seed, glane, 0x40000000)

@@ -216,6 +216,12 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
             return pallas_bounce.make_step(
                 scene, settings, seed, interpret=not pallas_bounce.on_tpu()
             )
+        if pallas_bounce.enabled_bvh(scene, settings):
+            # Resident-BVH scenes: packet walk + shading + NEE fused in
+            # one Pallas program (ops/pallas_bounce.make_step_bvh).
+            return pallas_bounce.make_step_bvh(
+                scene, settings, seed, interpret=not pallas_bounce.on_tpu()
+            )
     if mats_eval is not None:
         # Differentiable path: Lambert-only scenes get the fused forward
         # kernel with a HAND-WRITTEN Pallas backward (custom_vjp) — no
@@ -422,7 +428,7 @@ def _compact(state: PathState, width: int, seed, ctr: int,
              salt=None) -> PathState:
     """Shrink the wavefront to `width` slots.
 
-    When the live population fits (a <= width): prefix-sum scatter keeps
+    When the live population fits (a <= width): prefix compaction keeps
     every live lane (exact, weight 1). On overflow: SYSTEMATIC resampling —
     exactly `width` of the `a` live lanes are kept via a jittered-grid rank
     pick (one scalar uniform u; ranks ceil((j+u)*a/width), j=0..width-1),
@@ -445,7 +451,11 @@ def _compact(state: PathState, width: int, seed, ctr: int,
     # Everything is GATHER-formulated: TPU scatter measured ~7x slower than
     # gather at wavefront widths (223 vs 30 ms at 2M lanes), so the only
     # scatter here is the 1-column rank->index inversion. Slot 0 absorbs
-    # dead lanes' writes (unused: live ranks start at 1).
+    # dead lanes' writes (unused: live ranks start at 1). A round-5
+    # experiment replaced this with jnp.searchsorted(s, r) — gather-only,
+    # and 20x SLOWER end-to-end (flagship 597 -> 44 M rays/s): the binary
+    # search lowers to log2(n) serial per-lane gather rounds, each costing
+    # ~3x the scatter. Keep the scatter.
     rank_pos = jnp.zeros((n + 1,), jnp.int32).at[
         jnp.where(state.alive, s, 0)
     ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
@@ -552,11 +562,22 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
 
     def run_stage(state, b1: int, n_steps: int):
         if differentiable:
-            def scan_step(s, _):
-                s2 = jax.lax.cond(
-                    jnp.any(s.alive) & (s.bounce < b1), step, lambda x: x, s
-                )
-                return s2, None
+            if settings.compaction == "pop-rr":
+                # Occupancy-matched stages keep most lanes live for the
+                # whole stage, so the all-dead cond-skip almost never
+                # fires while its carry copies cost ~2 ms/bounce at 4M
+                # lanes (tools/trace_bwd.py: cond glue was 17 of the
+                # 41 ms stage-0 while). Run the (mask-correct) step
+                # unconditionally.
+                def scan_step(s, _):
+                    return step(s), None
+            else:
+                def scan_step(s, _):
+                    s2 = jax.lax.cond(
+                        jnp.any(s.alive) & (s.bounce < b1), step,
+                        lambda x: x, s
+                    )
+                    return s2, None
 
             # Per-bounce rematerialization policy (settings.bwd_remat),
             # measured on the 256^2 x 4 spp train step (BWD_REMAT.json,

@@ -599,9 +599,10 @@ def test_fused_raygen_matches_xla(assets_dir):
     n = w * h * spp
     seed, off = 9, 3
 
-    o_p, d_p = pallas_bounce.generate_rays(
+    o_p, d_p, g_p = pallas_bounce.generate_rays(
         scene, settings, seed, off, n, interpret=True
     )
+    assert g_p is None  # ideal pinhole: g == 1 stays with the caller
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     glane = lane + jnp.uint32(off) * jnp.uint32(w * h)
@@ -615,6 +616,63 @@ def test_fused_raygen_matches_xla(assets_dir):
     assert np.abs(np.asarray(d_p) - np.asarray(d_x)).max() < 2e-7
     assert float(np.abs(np.asarray(pdf) - 1).max()) == 0.0  # pinhole
     assert float(np.abs(np.asarray(g) - 1).max()) == 0.0
+
+
+def test_fused_raygen_thinlens_and_raster(assets_dir):
+    """Generalized Pallas ray-gen (round-5): thin-lens and realistic
+    pinhole cameras, and non-pow2 (raster-order) films, must match the XLA
+    ray-gen: o bit-exact, d/g to float tolerance."""
+    import jax.numpy as jnp
+
+    from lumillyrender_tpu.integrator.render import tile_decode
+    from lumillyrender_tpu.ops import camera as camera_ops
+    from lumillyrender_tpu.ops import rng as rng_mod
+    from lumillyrender_tpu.scene.data import CAM_PINHOLE, CAM_THIN_LENS
+
+    c = compile_scene_file(assets_dir / "welcome-geo.toml", spp=1)
+    scene = c.data
+    assert c.settings.camera_kind == CAM_THIN_LENS
+    cases = [
+        (64, 64, CAM_THIN_LENS),   # pow2 tiled
+        (96, 40, CAM_THIN_LENS),   # non-pow2 raster
+        (64, 64, CAM_PINHOLE),     # realistic pinhole
+    ]
+    for w, h, kind in cases:
+        settings = dataclasses.replace(
+            c.settings, width=w, height=h, camera_kind=kind
+        )
+        assert pallas_bounce.raygen_supported(settings), (w, h, kind)
+        spp = 2
+        n = w * h * spp
+        if n % pallas_bounce.PACKET:
+            n = (n // pallas_bounce.PACKET + 1) * pallas_bounce.PACKET
+        seed, off = 9, 3
+        o_p, d_p, g_p = pallas_bounce.generate_rays(
+            scene, settings, seed, off, n, interpret=True
+        )
+        assert g_p is not None
+
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        glane = lane + jnp.uint32(off) * jnp.uint32(w * h)
+        decode = tile_decode(settings)
+        if decode is None:
+            px = (lane % w).astype(jnp.int32)
+            py = ((lane // w) % h).astype(jnp.int32)
+        else:
+            px, py = decode(lane % jnp.uint32(w * h))
+        u, v, u2, v2 = rng_mod.uniform4(seed, glane, 0x40000000)
+        o_x, d_x, pdf, g = camera_ops.sample_rays(
+            scene.camera, kind, px, py, w, h, u, v, u2, v2
+        )
+        o_err = np.abs(np.asarray(o_p) - np.asarray(o_x)).max()
+        d_err = np.abs(np.asarray(d_p) - np.asarray(d_x)).max()
+        g_rel = (
+            np.abs(np.asarray(g_p) - np.asarray(g))
+            / np.abs(np.asarray(g))
+        ).max()
+        assert o_err < 1e-4, (w, h, kind, o_err)  # aperture disk math
+        assert d_err < 1e-5, (w, h, kind, d_err)
+        assert g_rel < 1e-5, (w, h, kind, g_rel)
 
 
 def test_fused_raygen_render_matches(assets_dir, monkeypatch):
