@@ -6,7 +6,12 @@ sharded across all chips with `shard_map` over a 1-D `jax.sharding.Mesh`;
 scene/BVH/materials are replicated in HBM (no halo exchange ever), and the
 per-chip partial films are reduced with a single `psum` riding ICI. Gradient
 all-reduce in the training step is the same `psum` applied to parameter
-cotangents (XLA overlaps it with the backward pass).
+cotangents. The AOT v5e 2x4 schedule (tools/bench_scaling.py, SCALING.json
+"overlap") shows XLA fuses loss+grad reduction into ONE all-reduce at the
+step tail: with a KB-scale payload (material/camera/sky rows — there is no
+weight matrix in a renderer) its transfer time is immaterial next to the
+bounce loop, so collective/compute overlap is a non-factor for this
+workload by construction, not by scheduling cleverness.
 
 Multi-host: call `jax.distributed.initialize()` before building the mesh and
 the same code spans hosts (DCN between slices). Tests exercise the path on a

@@ -159,30 +159,56 @@ class OracleScene:
                 best_t = float(ti[i])
                 best = (
                     best_t,
-                    o + d * best_t,
+                    self._pos32(o, d, best_t),
                     self.tri_n[i],
                     int(self.tri_mat[i]),
                 )
         if self.sph_c.shape[0]:
-            co = o - self.sph_c
-            cod = co @ d
-            det = cod * cod - np.einsum("ij,ij->i", co, co) + self.sph_r**2
+            # FLOAT32 quadratic, like the reference (`sphere.rs:42-56`,
+            # f32 throughout): det = cod^2 - |co|^2 + r^2 cancels ~1e10
+            # against ~1e10 at cbox scale, so f32 rounding perturbs t by
+            # whole UNITS at silhouettes — real, reference-faithful hit/
+            # miss statistics a f64 oracle would get systematically
+            # "righter" than the program under test (see _f32).
+            f32 = np.float32
+            co = (o.astype(f32) - self.sph_c.astype(f32))
+            d32 = d.astype(f32)
+            cod = (co @ d32).astype(f32)
+            det = (
+                cod * cod
+                - np.einsum("ij,ij->i", co, co).astype(f32)
+                + (self.sph_r.astype(f32)) ** 2
+            ).astype(f32)
             with np.errstate(invalid="ignore"):
-                sq = np.sqrt(np.maximum(det, 0.0))
-            t1 = -cod - sq
-            t2 = -cod + sq
+                sq = np.sqrt(np.maximum(det, f32(0.0))).astype(f32)
+            t1 = (-cod - sq).astype(f32)
+            t2 = (-cod + sq).astype(f32)
             ok = (det > 0.0) & ~((t1 < EPS) & (t2 < EPS))
-            t = np.where(t1 > EPS, t1, t2)
+            t = np.where(t1 > EPS, t1, t2).astype(np.float64)
             ok &= t < best_t
             if ok.any():
                 ti = np.where(ok, t, math.inf)
                 i = int(np.argmin(ti))
                 tt = float(ti[i])
-                p = o + d * tt
+                p = self._pos32(o, d, tt)
                 n = p - self.sph_c[i]
                 n = n / np.linalg.norm(n)
                 best = (tt, p, n, int(self.sph_mat[i]))
         return best
+
+    @staticmethod
+    def _pos32(o, d, t):
+        """Hit position with FLOAT32 arithmetic (o + d * t in f32).
+
+        The reference computes positions in f32 (`sphere.rs:55`,
+        `triangle.rs:92`), leaving them ~2-3 ulp (~1e-4 at cbox scale) off
+        the true surface; against EPS=1e-3 and curved geometry that error
+        drives real self-intersection statistics (see _f32). Computing the
+        position at storage precision keeps the oracle's self-shadowing
+        rate comparable."""
+        o32 = np.asarray(o, np.float32)
+        d32 = np.asarray(d, np.float32)
+        return (o32 + d32 * np.float32(t)).astype(np.float64)
 
     # ------------------------------------------------------------------ sky
     def sky_radiance(self, d):
@@ -456,6 +482,21 @@ class OracleScene:
             p = 1.0
         return p
 
+    @staticmethod
+    def _f32(v):
+        """Round to float32 storage precision.
+
+        The reference keeps every Vector3 in f32 (`math/vector3.rs`), so
+        hit positions land ~1e-5-relative off the true surface — which,
+        against the EPS=1e-3 t-cutoff and curved geometry, produces REAL
+        self-intersections (a secondary ray from a point 3e-5 inside a
+        r=100 sphere re-hits it at t = sqrt(2 r delta) ~ 0.08 >> EPS).
+        A double-precision oracle escapes cleanly and renders measurably
+        brighter on sphere silhouettes (z ~ -8 at 32^2/10 seeds); rounding
+        the STORED ray state (origin, direction) to f32 reproduces the
+        reference's estimator, while all arithmetic stays f64."""
+        return np.asarray(v, dtype=np.float32).astype(np.float64)
+
     def material_interaction(self, hit, ray_d, recurse):
         # scene.rs:78-102
         t, pos, n, m = hit
@@ -464,7 +505,7 @@ class OracleScene:
         brdf = self.mat_brdf(m, out, in_, n, pos)
         coef = self.mat_coef(m, out, n, t)
         cos = float(in_ @ n)
-        l_i = recurse(pos, in_)
+        l_i = recurse(self._f32(pos), self._f32(in_))
         return brdf * coef * l_i * cos / pdf
 
     def direct_light(self, hit, ray_d):
@@ -476,9 +517,10 @@ class OracleScene:
         ):
             return np.zeros(3)
         pt, pdf = self.sample_emission()
+        pos = self._f32(pos)  # f32 storage precision (see _f32)
         path = pt - pos
         path_norm = float(np.linalg.norm(path))
-        dir_ = path / path_norm
+        dir_ = self._f32(path / path_norm)
         point_out = -ray_d
         point_normal = self.orienting_normal(point_out, n)
         if float(dir_ @ point_normal) <= 0.0:
@@ -613,6 +655,7 @@ class OracleScene:
                     acc = np.zeros(3)
                     for _ in range(spp):
                         o, d, pdf, g = self.camera_sample(x, y)
+                        o, d = self._f32(o), self._f32(d)
                         if nee:
                             li = self.radiance_nee(o, d, 0, False)
                         else:

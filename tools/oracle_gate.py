@@ -350,7 +350,14 @@ def build_scenes(res=(32, 32), spp=24):
         return compile_scene(parse_config(toml, base_dir=ASSETS))
 
     # cfg 4: new-cbox (obj mesh + NEE + intensity join), camera swapped to
-    # thin-lens per the config wording, focus on the spheres.
+    # thin-lens per the config wording, focus on the spheres. The cbox is
+    # nudged +0.5 in x: the stock box puts its green wall EXACTLY on the
+    # checker's x=0 band edge (`lambert.rs:58-90` signed_mod returns the
+    # 0.5 band for x>0+ and the 1.0 band for x<=0), so f32 (renderer) vs
+    # f64 (oracle) hit-position rounding lands on systematically different
+    # sides of a 2x BRDF knife-edge — the documented discontinuity-flip
+    # class from tests/test_fused_bounce.py, not an estimator bug. 0.5
+    # units puts the wall solidly inside one band for both precisions.
     newcbox = _shrink(_asset("new-cbox.toml"), res, spp).replace(
         """[camera]
 type = "ideal-pinhole"
@@ -360,6 +367,16 @@ type = "thin-lens"
 fov = 39.3077
 focus-distance = 1050
 f-number = 6.0""",
+    ).replace(
+        """[[object]]
+mesh = "cbox"
+""",
+        """[[object]]
+mesh = "cbox"
+[[object.transform]]
+type = "translate"
+vector = [0.5, 0, 0]
+""",
     )
     assert "thin-lens" in newcbox
     return {
@@ -446,7 +463,13 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     results = []
-    for name, compiled in build_scenes(res=(32, 32), spp=32).items():
+    scenes = build_scenes(res=(32, 32), spp=32)
+    # The omnidirectional view spends most pixels on rarely-lit directions
+    # (cbox seen from inside at 32x16 equirect): at 32 spp a third of the
+    # pixels are zero-variance-on-one-side rare events the z-test calls
+    # untestable. More samples, not a looser gate.
+    scenes["omni"] = build_scenes(res=(32, 32), spp=128)["omni"]
+    for name, compiled in scenes.items():
         r = run_gate(name, compiled, n_seeds=10)
         print(json.dumps(r))
         results.append(r)
