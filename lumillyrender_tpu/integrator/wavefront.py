@@ -642,7 +642,8 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
     plan = _stage_plan(
         n, settings,
         aggressive=(not differentiable
-                    and _use_brute(scene.geometry, settings.intersector)),
+                    and _use_brute(scene.geometry, settings.intersector,
+                                   scene.bvh)),
     )
     for si, (width, b0, b1) in enumerate(plan):
         if width != state.alive.shape[0]:

@@ -804,22 +804,35 @@ def intersect_shade_brute(o, d, geom: Geometry, chunk: int = 8, t_cap=None):
     return hit, ShadePoint(position=pos, normal=normal, mat=mat, hit=hitmask)
 
 
-def _use_brute(geom: Geometry, mode: str) -> bool:
-    """Auto brute/BVH threshold, from sweep_crossover.json (blob shape:
-    enclosed lumpy icosphere, bounce-like rays with per-packet-clustered
-    surface origins + isotropic directions — the renderer's worst real
-    workload). Measured on TPU v5e: brute wins that worst case by >= 2x
-    through 20k tris (e.g. 9.9 vs 4.9 M rays/s at 5.1k) and narrowly even
-    at 82k (0.72 vs 0.53 M), BUT end-to-end renders flip long before
-    that — real scenes mix in camera-coherent and off-mesh rays the
-    packet kernel resolves near-root. Committed evidence:
-    BRUTE_VS_KERNEL.json (tools/bench_brute_vs_kernel.py) renders
-    assets/sample.toml (82k tris) both ways at an identical budget:
-    kernel 6.16 M rays/s vs brute 0.23 M (27x), films identical. 8192
-    splits the regimes: below it brute wins even the kernel-favorable
-    mixes; above it the end-to-end advantage compounds with size."""
+def _use_brute(geom: Geometry, mode: str, bvh: Bvh | None = None) -> bool:
+    """Auto brute/BVH threshold.
+
+    Two regimes, both evidence-backed:
+
+    * When the resident packet kernel can serve the scene (`bvh` given,
+      on TPU, layout supported), the round-5 end-to-end cliff sweep
+      (CLIFF.json, tools/bench_cliff.py) shows the BVH-FUSED bounce
+      beats XLA brute from right past the fused-brute kernel's 64-prim
+      cap: 15.6 vs 10.3 M rays/s at 68 prims, 14.0 vs 2.4 at 1k, 8.2 vs
+      0.73 at 4k, 5.9 vs 0.39 at 8k. Threshold = 64.
+    * Otherwise (CPU, interpret, unsupported layouts) the round-3
+      sweep_crossover.json worst-case analysis stands: brute wins the
+      incoherent-bounce mix through ~8k prims against the XLA walk
+      (end-to-end: BRUTE_VS_KERNEL.json, sample.toml kernel 6.16 M vs
+      brute 0.23 M at 82k). Threshold = 8192.
+    """
+    if mode == "brute":
+        return True
+    if mode != "auto":
+        return False
     nprim = geom.tri_p0.shape[0] + geom.sph_c.shape[0]
-    return mode == "brute" or (mode == "auto" and nprim <= 8192)
+    threshold = 8192
+    if bvh is not None and geom.tri_p0.shape[0] > 0:
+        from . import pallas_bvh
+
+        if pallas_bvh.on_tpu() and pallas_bvh.supported(bvh):
+            threshold = 64
+    return nprim <= threshold
 
 
 def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
@@ -831,7 +844,7 @@ def _resolve(geom: Geometry, bvh: Bvh, mode: str) -> str:
     walk. Forcing mode='pallas' off-TPU runs the kernel in interpreter
     mode (slow; for tests/debugging).
     """
-    if _use_brute(geom, mode):
+    if _use_brute(geom, mode, bvh):
         return "brute"
     from . import pallas_bvh
 

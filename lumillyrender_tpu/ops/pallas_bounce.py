@@ -1091,8 +1091,8 @@ def supported_bvh(scene, settings) -> bool:
         return False
     from .intersect import _use_brute
 
-    if _use_brute(scene.geometry, settings.intersector):
-        return False  # the XLA path would brute-force: stay comparable
+    if _use_brute(scene.geometry, settings.intersector, scene.bvh):
+        return False  # brute regime (fused-brute kernel or forced brute)
     if settings.intersector not in ("auto", "bvh", "pallas"):
         return False
     if not pallas_bvh.supported(scene.bvh):

@@ -431,8 +431,13 @@ def zmap(fa, fb):
     va = a.var(axis=0, ddof=1) / a.shape[0]
     vb = b.var(axis=0, ddof=1) / b.shape[0]
     z = (ma - mb) / np.sqrt(va + vb + 1e-12)
-    degenerate = ((va == 0) | (vb == 0)) & (ma != mb)
-    return z, ~degenerate
+    # Deterministic pixels (zero variance BOTH sides — e.g. sky-only
+    # directions) are compared to f32 ulp tolerance, not bitwise: the
+    # renderer averages in f32, the oracle in f64, so a constant like
+    # 0.8/3 differs in the last ulp without any estimator disagreement.
+    close = np.abs(ma - mb) <= 1e-6 * np.maximum(np.abs(ma), 1.0) + 1e-7
+    degenerate = ((va == 0) | (vb == 0)) & ~close
+    return np.where((va == 0) & (vb == 0) & close, 0.0, z), ~degenerate
 
 
 def run_gate(name, compiled, n_seeds=8, workers=8):
