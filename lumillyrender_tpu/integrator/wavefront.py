@@ -222,16 +222,25 @@ def make_bounce_step(scene: SceneData, settings: RenderSettings, seed,
             return pallas_bounce.make_step_bvh(
                 scene, settings, seed, interpret=not pallas_bounce.on_tpu()
             )
-    if mats_eval is not None:
+    if mats_eval is not None and allow_fused:
         # Differentiable path: Lambert-only scenes get the fused forward
         # kernel with a HAND-WRITTEN Pallas backward (custom_vjp) — no
         # rematerialized XLA bounce anywhere (ops/pallas_bounce.py,
-        # `supported_diff`). run_stage detects `.fused_diff` and skips
-        # jax.checkpoint (the custom VJP's residuals are just the carry).
+        # `supported_diff`). Other fused-eligible material mixes get the
+        # HYBRID step: fused Pallas forward + structured-XLA backward
+        # (one recompute per bounce — what bwd_remat='full' pays anyway,
+        # minus the expensive XLA forward sweep). run_stage detects
+        # `.fused_diff` and skips jax.checkpoint (both custom VJPs'
+        # residuals are just the carry).
         from ..ops import pallas_bounce
 
         if pallas_bounce.enabled_diff(scene, settings):
             return pallas_bounce.make_step_diff(
+                scene, settings, seed, mats_eval,
+                interpret=not pallas_bounce.on_tpu(),
+            )
+        if pallas_bounce.enabled_diff_hybrid(scene, settings):
+            return pallas_bounce.make_step_diff_hybrid(
                 scene, settings, seed, mats_eval,
                 interpret=not pallas_bounce.on_tpu(),
             )

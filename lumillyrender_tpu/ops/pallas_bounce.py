@@ -1860,6 +1860,246 @@ def make_step_diff(scene, settings, seed, mats_eval, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid differentiable step: fused Pallas FORWARD for every material
+# family, structured-XLA BACKWARD (round-4 verdict item 1's fallback
+# branch). The fused forward kernel already evaluates all five BSDFs; only
+# the hand-derived backward is Lambert-only. For Phong/Blinn/GGX/
+# refraction scenes this custom_vjp runs the fused kernel in the scan's
+# forward sweep and, in the backward sweep, rebuilds the XLA bounce step
+# from the SAME tables (same RNG counters -> same sampling decisions, up
+# to the documented discontinuity flips) and applies jax.vjp to it — the
+# one XLA recompute per bounce that bwd_remat="full" pays anyway, but with
+# the cheap fused forward replacing the expensive XLA forward sweep.
+# ---------------------------------------------------------------------------
+
+
+def supported_diff_hybrid(scene, settings) -> bool:
+    if not supported(scene, settings):
+        return False
+    if supported_diff(scene, settings):
+        return False  # Lambert scenes: the hand-VJP path is strictly better
+    return True
+
+
+def enabled_diff_hybrid(scene, settings) -> bool:
+    flag = os.environ.get("LLR_FUSED", "auto")
+    if flag == "0" or getattr(settings, "fused", "auto") == "off":
+        return False
+    force = flag == "1" or getattr(settings, "fused", "auto") == "on"
+    if not (force or on_tpu()):
+        return False
+    return supported_diff_hybrid(scene, settings)
+
+
+def make_step_diff_hybrid(scene, settings, seed, mats_eval,
+                          interpret: bool = False):
+    """Differentiable bounce step: fused Pallas forward (all five material
+    families), XLA-vjp backward reconstructed from the flat tables.
+
+    Flat custom_vjp signature like `make_step_diff` (pytree args broke
+    jit(grad(scan)) lowering). The backward rebuilds Geometry / LightTable
+    / MaterialTable / SkyData FROM THE TABLE ARGUMENTS (tt/st/mts/mte/lt/
+    misc carry everything the brute-regime XLA step reads), so nothing
+    traced is closed over."""
+    import dataclasses as _dc
+
+    from ..integrator import wavefront as _wf
+    from ..integrator.wavefront import PathState
+    from ..scene.data import (
+        Bvh,
+        CameraData,
+        Geometry,
+        LightTable,
+        MaterialTable,
+        SceneData,
+        SkyData,
+    )
+    from . import rng as rng_mod
+
+    nt = scene.geometry.tri_p0.shape[0]
+    ns = scene.geometry.sph_c.shape[0]
+    nm = scene.materials.type_id.shape[0]
+    nl = scene.lights.prim.shape[0]
+    nee = settings.integrator == "pt-direct"
+    present = settings.mat_types
+    present = _ALL_TYPES if present is None else tuple(present)
+    fwd_call = _make_call(
+        nt, ns, nm, nl, nee, settings.has_lights,
+        settings.no_direct_emitter, settings.depth, settings.depth_limit,
+        present, interpret,
+    )
+    seed_i32 = jax.lax.bitcast_convert_type(
+        rng_mod._seed_u32(seed), jnp.int32
+    )
+    f32 = jnp.float32
+
+    def _mat_from(table):
+        return MaterialTable(
+            type_id=table[:, 0].astype(jnp.int32),
+            color=table[:, 1:4],
+            emission=table[:, 4:7],
+            alpha=table[:, 7],
+            ior=table[:, 8],
+            absorbtance=table[:, 9],
+        )
+
+    def _scene_from(tt, st, mts, lt, misc):
+        zero3 = jnp.zeros((0, 3), f32)
+        zero1 = jnp.zeros((0,), f32)
+        geom = Geometry(
+            tri_p0=tt[:, 0:3] if nt else zero3,
+            tri_e1=tt[:, 3:6] if nt else zero3,
+            tri_e2=tt[:, 6:9] if nt else zero3,
+            tri_n=tt[:, 9:12] if nt else zero3,
+            tri_mat=(tt[:, 12].astype(jnp.int32) if nt
+                     else jnp.zeros((0,), jnp.int32)),
+            sph_c=st[:, 0:3] if ns else zero3,
+            sph_r=st[:, 3] if ns else zero1,
+            sph_mat=(st[:, 4].astype(jnp.int32) if ns
+                     else jnp.zeros((0,), jnp.int32)),
+        )
+        lights = LightTable(
+            prim=jnp.zeros((nl,), jnp.int32),  # unused by sampling
+            area=lt[:, 13] * 0.0,  # unused (pdf = 1/total_area)
+            cdf=lt[:, 14],
+            total_area=misc[0, 3],
+            is_tri=lt[:, 0].astype(jnp.int32),
+            p0=lt[:, 1:4],
+            e1=lt[:, 4:7],
+            e2=lt[:, 7:10],
+            c=lt[:, 10:13],
+            r=lt[:, 13],
+        )
+        sky = SkyData(
+            color=misc[0, 0:3],
+            color2=jnp.zeros((3,), f32),
+            ibl=jnp.ones((1, 2, 3), f32),
+            longitude_offset=jnp.float32(0.0),
+        )
+        i3 = jnp.zeros((1,), jnp.int32)
+        bvh = Bvh(  # never traversed: supported() => brute regime
+            node_min=jnp.zeros((1, 3), f32), node_max=jnp.zeros((1, 3), f32),
+            node_miss=i3 - 1, node_leaf=i3 - 1,
+            blk_p0=jnp.zeros((1, 4, 3), f32),
+            blk_e1=jnp.zeros((1, 4, 3), f32),
+            blk_e2=jnp.zeros((1, 4, 3), f32),
+            blk_n=jnp.zeros((1, 4, 3), f32),
+            blk_prim=jnp.zeros((1, 4), jnp.int32) - 1,
+            blk_mat=jnp.zeros((1, 4), jnp.int32) - 1,
+            pk_nodes=jnp.zeros((1, 8), f32),
+            pk_blk=jnp.zeros((1, LANE), f32),
+            pk_pm=jnp.zeros((1, LANE), jnp.int32),
+        )
+        cam = CameraData(
+            position=jnp.zeros((3,), f32),
+            aperture_position=jnp.zeros((3,), f32),
+            forward=jnp.zeros((3,), f32), right=jnp.zeros((3,), f32),
+            up=jnp.zeros((3,), f32), sensor_size=jnp.ones((2,), f32),
+            aperture_radius=jnp.float32(1.0),
+            focus_distance=jnp.float32(1.0),
+            aperture_sensor_distance=jnp.float32(1.0),
+            sensor_sensitivity=jnp.float32(1.0),
+        )
+        return SceneData(geometry=geom, materials=_mat_from(mts),
+                         lights=lights, bvh=bvh, sky=sky, camera=cam)
+
+    def _tiles_of(o, d, thr, acc, alive, lane, pad):
+        def prep(a, fill=0.0):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], 0
+                )
+            return a
+
+        to2d = lambda a: a.reshape(-1, LANE)
+        return (
+            [to2d(prep(o[:, c])) for c in range(3)]
+            + [to2d(prep(d[:, c], 1.0)) for c in range(3)]
+            + [to2d(prep(thr[:, c])) for c in range(3)]
+            + [to2d(prep(acc[:, c])) for c in range(3)]
+            + [to2d(prep(alive.astype(jnp.int32), 0))]
+            + [to2d(prep(jax.lax.bitcast_convert_type(lane, jnp.int32),
+                         0))]
+        )
+
+    @jax.custom_vjp
+    def f(o, d, thr, acc, alive, lane, bounce, sd, tt, st, mts, mte, lt,
+          misc):
+        n = o.shape[0]
+        pad = (-n) % PACKET
+        tiles = _tiles_of(o, d, thr, acc, alive, lane, pad)
+        outs = fwd_call(bounce, sd, tt, st, mts, mte, lt, misc,
+                        tuple(tiles))
+        flat = [x.reshape(-1)[:n] for x in outs]
+        return (
+            jnp.stack(flat[0:3], axis=-1),
+            jnp.stack(flat[3:6], axis=-1),
+            jnp.stack(flat[6:9], axis=-1),
+            jnp.stack(flat[9:12], axis=-1),
+            flat[12] != 0,
+            jnp.sum(flat[13]),
+        )
+
+    def fwd(o, d, thr, acc, alive, lane, bounce, sd, tt, st, mts, mte, lt,
+            misc):
+        outs = f(o, d, thr, acc, alive, lane, bounce, sd, tt, st, mts,
+                 mte, lt, misc)
+        return outs, (o, d, thr, acc, alive, lane, bounce, tt, st, mts,
+                      mte, lt, misc)
+
+    def bwd(res, g):
+        (o, d, thr, acc, alive, lane, bounce, tt, st, mts, mte, lt,
+         misc) = res
+        g_o, g_d, g_t, g_a, _, _ = g
+
+        def prim(o_, d_, thr_, acc_, mte_, misc_):
+            scene_r = _scene_from(tt, st, mts, lt, misc_)
+            step = _wf.make_bounce_step(
+                scene_r, settings, seed, mats_eval=_mat_from(mte_),
+                allow_fused=False,
+            )
+            st2 = step(PathState(
+                bounce=bounce, o=o_, d=d_, throughput=thr_, accum=acc_,
+                alive=alive, rays_traced=jnp.float32(0.0), lane=lane,
+            ))
+            return st2.o, st2.d, st2.throughput, st2.accum
+
+        _, vjp = jax.vjp(prim, o, d, thr, acc, mte, misc)
+        ob, db, tb, ab, mte_bar, misc_bar = vjp((g_o, g_d, g_t, g_a))
+
+        import numpy as _np
+
+        f0 = lambda x: _np.zeros(_np.shape(x), jax.dtypes.float0)
+        return (
+            ob, db, tb, ab,
+            f0(alive), f0(lane), f0(bounce), f0(jnp.int32(0)),
+            jnp.zeros_like(tt), jnp.zeros_like(st),
+            jnp.zeros_like(mts),  # sample table: detached by design
+            mte_bar, jnp.zeros_like(lt), misc_bar,
+        )
+
+    f.defvjp(fwd, bwd)
+
+    def step(state: PathState) -> PathState:
+        sc = _dc.replace(scene)
+        tt, st, mt_s, lt, misc = _pack_tables(sc, present)
+        mt_e = _mat_table(mats_eval)
+        o, d, thr, acc, alive, rays = f(
+            state.o, state.d, state.throughput, state.accum, state.alive,
+            state.lane, state.bounce, seed_i32, tt, st, mt_s, mt_e, lt,
+            misc,
+        )
+        return PathState(
+            bounce=state.bounce + 1,
+            o=o, d=d, throughput=thr, accum=acc, alive=alive,
+            rays_traced=state.rays_traced + rays, lane=state.lane,
+        )
+
+    step.fused_diff = True
+    return step
+
+
+# ---------------------------------------------------------------------------
 # Fused camera ray generation (ideal pinhole, tiled power-of-two films)
 #
 # The last XLA stage of the fused forward path: per-chunk ray-gen (pixel

@@ -580,6 +580,92 @@ def test_fused_diff_camera_fd():
     )
 
 
+GLOSSY_DIFF_SCENE = LAMBERT_DIFF_SCENE.replace(
+    """[[material]]
+name = "diffuse"
+type = "lambert"
+albedo = [0.6, 0.45, 0.3]""",
+    """[[material]]
+name = "diffuse"
+type = "ggx"
+reflectance = [0.8, 0.75, 0.7]
+roughness = 0.45
+ior = 12""",
+)
+
+
+def _hybrid_scene(max_bounces=5, spp=4):
+    c = compile_scene(parse_config(GLOSSY_DIFF_SCENE), spp=spp)
+    c.settings = dataclasses.replace(c.settings, max_bounces=max_bounces,
+                                     fused="on")
+    assert not pallas_bounce.supported_diff(c.data, c.settings)
+    assert pallas_bounce.supported_diff_hybrid(c.data, c.settings)
+    return c
+
+
+def test_hybrid_diff_roughness_fd():
+    """FD-vs-AD through the HYBRID step (fused Pallas fwd + XLA-vjp bwd)
+    for a GGX roughness parameter — the family the hand-VJP doesn't
+    cover."""
+    from test_diff import _set_mat, fd_vs_ad
+
+    c = _hybrid_scene()
+    g_ad, _ = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.materials.alpha[1],
+        set_leaf=lambda p, v: _set_mat(p, "alpha", 1, v),
+        eps=4e-2, atol=2e-4, rtol=0.15,
+    )
+    assert np.isfinite(g_ad)
+
+
+def test_hybrid_diff_reflectance_fd():
+    from test_diff import _set_mat, fd_vs_ad
+
+    c = _hybrid_scene()
+    g_ad, _ = fd_vs_ad(
+        c,
+        get_leaf=lambda p: p.materials.color[1, 0],
+        set_leaf=lambda p, v: _set_mat(p, "color", (1, 0), v),
+        eps=2e-2, atol=2e-4, rtol=0.1,
+    )
+    assert g_ad > 0
+
+
+def test_hybrid_grads_match_xla_path():
+    """The hybrid's gradients must match the pure-XLA diff path's: the
+    backward IS the XLA step's vjp and the RNG trajectories are identical
+    (fused-vs-XLA forward parity), so agreement is tight — far tighter
+    than FD tolerances."""
+    import jax
+
+    from test_diff import objective
+
+    c_h = _hybrid_scene()
+    c_x = compile_scene(parse_config(GLOSSY_DIFF_SCENE), spp=4)
+    c_x.settings = dataclasses.replace(
+        c_x.settings, max_bounces=5, fused="off"
+    )
+
+    from lumillyrender_tpu.diff.render import params_of
+
+    p0 = params_of(c_h.data)
+    g_h = jax.jit(jax.grad(lambda p: objective(c_h, p, p0),
+                           allow_int=True))(p0)
+    g_x = jax.jit(jax.grad(lambda p: objective(c_x, p, p0),
+                           allow_int=True))(p0)
+    for name in ("color", "emission", "alpha", "ior"):
+        a = np.asarray(getattr(g_h.materials, name))
+        b = np.asarray(getattr(g_x.materials, name))
+        denom = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 5e-3, (
+            name, a, b
+        )
+    sa = np.asarray(g_h.sky.color)
+    sb = np.asarray(g_x.sky.color)
+    assert np.abs(sa - sb).max() / (np.abs(sb).max() + 1e-8) < 5e-3
+
+
 def test_fused_raygen_matches_xla(assets_dir):
     """Pallas ray generation (pinhole, tiled pow2 film) must match the XLA
     path bit-for-bit: same pcg4d draws, same pixel decode, same sensor

@@ -40,8 +40,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from lumillyrender_tpu.diff.render import params_of, render_diff
     from lumillyrender_tpu.scene.compiler import compile_scene_file
+    from lumillyrender_tpu.scene.loader import parse_config
+    from lumillyrender_tpu.scene.compiler import compile_scene
+    from lumillyrender_tpu.diff.render import params_of, render_diff
 
     compiled = compile_scene_file(REPO / "assets" / "new-cbox.toml", spp=64)
     base = dataclasses.replace(
@@ -51,14 +53,51 @@ def main():
     params = params_of(scene)
     target = jnp.zeros((RESOLUTION, RESOLUTION, 3), jnp.float32)
 
+    # Per-family rows (round-5): the same flagship geometry with the two
+    # Lambert spheres swapped for GGX — trains through the HYBRID step
+    # (fused Pallas fwd + XLA-vjp bwd) vs the pure-XLA autodiff path.
+    ggx_toml = (REPO / "assets" / "new-cbox.toml").read_text().replace(
+        """[[material]]
+name = "white"
+type = "lambert"
+albedo = [0.740063, 0.742313, 0.733934]""",
+        """[[material]]
+name = "white"
+type = "ggx"
+reflectance = [0.740063, 0.742313, 0.733934]
+roughness = 0.35
+ior = 14""",
+    )
+    ggx_compiled = compile_scene(
+        parse_config(ggx_toml, base_dir=REPO / "assets"), spp=64
+    )
+    ggx_scene = ggx_compiled.data
+    ggx_base = dataclasses.replace(
+        ggx_compiled.settings, width=RESOLUTION, height=RESOLUTION
+    )
+
     # XLA-autodiff path variants (fused="off") plus the hand-VJP fused
     # Pallas path ("fused-hand-vjp", Lambert scenes; bwd_remat is bypassed
-    # there — the custom VJP needs no remat at all).
-    variants = [(m, dataclasses.replace(base, bwd_remat=m, fused="off"))
-                for m in ("isect", "isect+samp", "none", "full", "hybrid")]
-    variants.append(("fused-hand-vjp", dataclasses.replace(base, fused="auto")))
+    # there — the custom VJP needs no remat at all) plus the GGX hybrid.
+    variants = [
+        (m, scene,
+         dataclasses.replace(base, bwd_remat=m, fused="off"))
+        for m in ("isect", "isect+samp", "none", "full", "hybrid")
+    ]
+    variants.append(
+        ("fused-hand-vjp", scene, dataclasses.replace(base, fused="auto"))
+    )
+    variants.append(
+        ("ggx-xla-full", ggx_scene,
+         dataclasses.replace(ggx_base, bwd_remat="full", fused="off"))
+    )
+    variants.append(
+        ("ggx-fused-hybrid", ggx_scene,
+         dataclasses.replace(ggx_base, fused="auto"))
+    )
     results = {}
-    for mode, settings in variants:
+    for mode, scene, settings in variants:
+        params = params_of(scene)
 
         @partial(jax.jit, static_argnames=())
         def train_step(scene, params, seed, settings=settings):

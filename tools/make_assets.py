@@ -281,14 +281,18 @@ def make_hero_ibls(models_dir: Path):
 
     ibl_dir = models_dir / "ibl"
     ibl_dir.mkdir(parents=True, exist_ok=True)
-    # Warm late-afternoon ruins courtyard (PaperMill stand-in).
+    # Warm late-afternoon ruins courtyard (PaperMill stand-in). The sun
+    # disc is kept WIDE (cos 0.993 ~ 6.8 deg) at matched flux: ridaisai is
+    # pure pt, so a tiny hot sun turns every cosine-sampled floor bounce
+    # into a firefly lottery the reference's own gallery avoided with
+    # 10k spp budgets.
     write_hdr(
         ibl_dir / "paper_mill.hdr",
         _hero_env(
             256, 512,
-            sun_dir=[0.45, 0.35, -0.82], sun_e=[900.0, 720.0, 520.0],
+            sun_dir=[0.45, 0.35, -0.82], sun_e=[195.0, 156.0, 113.0],
             sky_zenith=[0.35, 0.55, 1.0], sky_horizon=[1.1, 0.9, 0.7],
-            ground=[0.30, 0.24, 0.18], haze=1.0,
+            ground=[0.30, 0.24, 0.18], haze=1.0, sun_cos=0.993,
         ),
     )
     # Overcast-bright waterside bridge (Hamarikyu stand-in).
