@@ -522,11 +522,14 @@ def trace_film(scene: SceneData, settings: RenderSettings, o, d, lane, seed,
     stage runs at the smaller width.
 
     `differentiable=True` (the inverse-rendering path) swaps each stage's
-    early-exit `while_loop` for a fixed-length `lax.scan` whose per-bounce
-    body is `jax.checkpoint`-ed (constant memory in depth) and wrapped in a
-    `lax.cond` that skips the whole bounce — forward AND backward — once
-    every lane is dead. Compaction applies identically: the backward pass
-    then also runs at the shrunken widths, which is what closes most of the
+    early-exit `while_loop` for a fixed-length `lax.scan`. With compaction
+    (pop-rr) the step runs unconditionally — occupancy-matched stages keep
+    lanes live, and the round-5 trace showed the all-dead `lax.cond` skip
+    cost ~2 ms/bounce in carry copies at 4M lanes while almost never
+    firing. Without compaction the cond skip remains (long dead tails),
+    and the per-bounce body is `jax.checkpoint`-ed per settings.bwd_remat.
+    Compaction applies identically in both sweeps: the backward pass also
+    runs at the shrunken widths, which is what closes most of the
     fwd-vs-fwd+bwd throughput gap (a full-width 80-bounce scan did ~6x the
     useful work).
 

@@ -45,3 +45,20 @@ echo "runbook done"
 #   (BWD_REMAT.json fused-hand-vjp, 90.8 M rays/s).
 # * Fused-kernel tile sweep (flagship, 20-chunk steady state):
 #   SUB=8 289, 16 316, 32 330, 64 329, 128 322 M rays/s.
+# --- round-5 additions ---
+# * jnp.searchsorted at wavefront widths lowers to log2(n) SERIAL
+#   per-lane gather rounds: the gather-only rank inversion in _compact
+#   measured 20x slower end-to-end than the 1-column scatter (597 -> 44 M
+#   rays/s). Scatters are slow; serial gather chains are slower.
+# * LLR_REORDER=1 on the RESIDENT packet path: welcome-geo 29 -> 1.8 M.
+#   Reordering only pays on the streamed path it was built for.
+# * int32 // and % by a NON-pow2 compile-time constant lower fine in
+#   Mosaic (ray-gen general pixel decode) — pow2 still prefers masks.
+# * jax.experimental.topologies.get_topology_desc(platform='tpu',
+#   topology_name='v5e:2x4') works here: AOT-compile multi-chip programs
+#   (and read their optimized HLO schedules) without hardware.
+# * jax.profiler.ProfileData parses xplane.pb directly — per-op device
+#   times without tensorboard (tools/trace_bwd.py, trace_render.py).
+# * Cold-tunnel single measurements can read 3-8x low (CLIFF 128-tri row:
+#   0.97 vs 13.96 M on re-measure); never conclude from one cold run,
+#   and keep heavy CPU jobs (oracle gate) off the host during benches.
