@@ -24,6 +24,14 @@ import os
 
 TREELET_K = int(os.environ.get("LLR_TREELET_K", "32"))
 
+# Triangle count past which the scene compiler builds 128-wide leaves and
+# traversal routes to the wide-leaf kernel (ops/pallas_bvh_wide.py): the
+# K=32 packet kernel's resident tables outgrow VMEM around ~650k tris
+# (RESIDENT_CAP.json measured healthy through 684k) and its HBM-streaming
+# fallback is slower than the fully-resident wide kernel at 1M tris
+# (BIGMESH.json).
+WIDE_MIN_TRIS = int(os.environ.get("LLR_WIDE_MIN_TRIS", "650000"))
+
 
 def _pack_kernel_tables(node_min, node_max, node_miss, node_leaf,
                         blk_p0, blk_e1, blk_e2, blk_n, blk_prim, blk_mat):

@@ -376,6 +376,54 @@ def intersect_bvh(o, d, geom: Geometry, bvh: Bvh, want_shade: bool = False,
     # differentiable via the plane-equation custom_vjp at the detached
     # winner. Where no tri won, the ORIGINAL best_t0 is kept so sphere-lane
     # gradients still flow.
+    if use_pallas and bvh.blk_p0.shape[1] == 128:
+        # Wide-leaf kernel (ops/pallas_bvh_wide.py): a K=128 BVH is built
+        # by the compiler exactly when the mesh is too big for the packet
+        # kernel's resident tables (accel/pack.py WIDE_MIN_TRIS); narrow
+        # 8-ray packets keep traversal unions tight on such meshes while
+        # leaves test as dense (8,128) tiles. Reordering helps its
+        # incoherent wavefronts (WIDE_SWEEP.json) and camera rays are
+        # tile-ordered already, so sort unless explicitly disabled.
+        from . import pallas_bvh_wide
+
+        if pallas_bvh_wide.supported(bvh):
+            import os as _os
+
+            _env = _os.environ.get("LLR_REORDER", "auto")
+            do_reorder = reorder if _env == "auto" and reorder is not None \
+                else _env != "0"
+            if do_reorder:
+                key = _ray_sort_key(o, d, bvh)
+                perm = jnp.argsort(key)
+                inv = jnp.zeros_like(perm).at[perm].set(
+                    jnp.arange(perm.shape[0], dtype=perm.dtype)
+                )
+                outs = pallas_bvh_wide.intersect_tris_wide(
+                    jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
+                    jnp.take(best_t0, perm), bvh, geom.tri_n,
+                    want_shade=want_shade, interpret=pallas_interpret,
+                    t_stop=jnp.take(stop, perm), tri_mat=geom.tri_mat,
+                )
+                outs = tuple(jnp.take(x, inv, axis=0) for x in outs)
+            else:
+                outs = pallas_bvh_wide.intersect_tris_wide(
+                    o, d, best_t0, bvh, geom.tri_n, want_shade=want_shade,
+                    interpret=pallas_interpret, t_stop=stop,
+                    tri_mat=geom.tri_mat,
+                )
+            t_tri, prim = outs[0], outs[1]
+            won = prim >= 0
+            res_t = jnp.where(won, t_tri, best_t0)
+            res_p = jnp.where(won, prim, best_p0)
+            if want_shade:
+                m = jnp.where(won, outs[2], sh0[0])
+                f = tuple(
+                    jnp.where(won, outs[3 + c], sh0[1 + c])
+                    for c in range(3)
+                )
+                return finish(res_t, res_p, (m, *f))
+            return finish(res_t, res_p, ())
+
     if use_pallas:
         # Packet-traversal Pallas kernel (ops/pallas_bvh.py).
         from . import pallas_bvh

@@ -9,8 +9,9 @@ matter how leaves are fetched. Per-lane independent walks are not
 lowerable (Mosaic rejects per-lane dynamic VMEM indexing,
 tools/probe_mosaic.py), so this kernel inverts the tile instead:
 
-  * a packet is only WSUB (8) rays, one per SUBLANE — the traversal union
-    is over 8 rays, near per-ray tight;
+  * a packet is only WSUB (default 64, vs the packet kernel's 2048)
+    rays, one per SUBLANE — the traversal union stays tight (measured
+    ~20-30 node visits per ray at 1M tris for any WSUB 8..64);
   * a leaf is K=128 triangles, one per LANE — a leaf visit tests
     WSUB x 128 ray/tri pairs in ~40 dense (WSUB, 128) VPU ops via vector
     ROW reads (`blk_ref[pl.ds(row, 1), :]`, dynamic sublane: probed OK,
@@ -48,17 +49,21 @@ from ..constants import EPS, INF
 
 LANE = 128
 WIDE_K = 128  # tris per leaf; the lane width
-# Rays per packet (sublanes). Smaller = tighter unions, more grid steps.
-WSUB = int(os.environ.get("LLR_WIDE_SUB", "8"))
+# Rays per packet (sublanes). Smaller = tighter traversal unions, more
+# grid steps; the 1M-tri sweep (WIDE_SWEEP.json) rises monotonically
+# 8 -> 64 on every workload (the serial walk amortizes faster than the
+# union penalty grows), so 64 is the default.
+WSUB = int(os.environ.get("LLR_WIDE_SUB", "64"))
 # VMEM cap for the resident tables (shared philosophy with pallas_bvh:
 # v5e has 128 MiB; leave headroom for ray tiles, scratch and XLA temps).
 WIDE_VMEM_BYTES = int(os.environ.get("LLR_WIDE_VMEM", str(96 * 1024 * 1024)))
 
 
 def table_vmem_bytes(bvh) -> int:
-    """(Nn,8) node rows are lane-padded to 128 by Mosaic."""
-    return (bvh.pk_nodes.shape[0] * LANE + bvh.pk_blk.size
-            + bvh.pk_pm.size) * 4
+    """Chunk-major node table (8 rows / 128 nodes, no lane padding) +
+    triangle/prim tables."""
+    nchunks = -(-bvh.pk_nodes.shape[0] // LANE)
+    return (nchunks * 8 * LANE + bvh.pk_blk.size + bvh.pk_pm.size) * 4
 
 
 def supported(bvh) -> bool:
@@ -68,8 +73,8 @@ def supported(bvh) -> bool:
             and table_vmem_bytes(bvh) <= WIDE_VMEM_BYTES)
 
 
-def _kernel(nodes_ref, blk_ref, pm_ref, rays_ref,
-            out_t_ref, out_p_ref, bt_ref, bp_ref):
+def _kernel(chunk_ref, blk_ref, pm_ref, rays_ref,
+            out_t_ref, out_p_ref, bt_ref, bp_ref, col_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (WSUB, LANE), 0)
 
     def rtile(c):
@@ -88,25 +93,82 @@ def _kernel(nodes_ref, blk_ref, pm_ref, rays_ref,
     bt_ref[:] = t0
     bp_ref[:] = jnp.full((WSUB, LANE), -1, jnp.int32)
 
-    def nval(i, c):
-        return nodes_ref[i, c]
-
     def row_min(x):
         return jnp.broadcast_to(
             jnp.min(x, axis=1, keepdims=True), (WSUB, LANE)
         )
 
-    def body(cur):
-        # Per-ray prune front: row-min of the per-lane best, broadcast.
-        # bt initializes to t0 and only tightens, so this IS the running
-        # best-t (recomputed rather than carried: scalar-only while carry,
-        # the shape the packet kernel established lowers).
-        front = row_min(bt_ref[:])
-        mnx, mny, mnz = nval(cur, 0), nval(cur, 1), nval(cur, 2)
-        mxx, mxy, mxz = nval(cur, 3), nval(cur, 4), nval(cur, 5)
-        miss = nval(cur, 6).astype(jnp.int32)
-        leaf = nval(cur, 7).astype(jnp.int32)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
+    n_leaves = blk_ref.shape[0] // 12  # static
+
+    def leaf_test(leaf):
+        # Clamp: predicated regions may still issue their loads with the
+        # branch-off operand values (leaf = -1 or scalar-read race
+        # garbage); an out-of-range VMEM access faults the TPU worker
+        # even when the result is discarded.
+        leaf = jnp.clip(leaf, 0, n_leaves - 1)
+        # One dynamic-sublane BLOCK load for all nine geometry rows
+        # (p0/e1/e2 xyz) + one for the prim row. Normal rows (9..11) are
+        # never read: shade payloads are recovered by an XLA gather on
+        # the winner prim outside.
+        blk = blk_ref[pl.ds(leaf * 12, 9), :]  # (9, LANE)
+
+        def brow(c):
+            return blk[c:c + 1, :]  # (1, LANE)
+
+        p0x, p0y, p0z = brow(0), brow(1), brow(2)
+        e1x, e1y, e1z = brow(3), brow(4), brow(5)
+        e2x, e2y, e2z = brow(6), brow(7), brow(8)
+        pr = pm_ref[pl.ds(leaf * 2, 1), :]  # (1, LANE) i32
+
+        # Möller-Trumbore, (1,LANE) tri rows x (WSUB,LANE) ray tiles
+        # (same math and EPS cut-offs as pallas_bvh._leaf_test).
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_ok = jnp.abs(det) >= EPS
+        inv = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        tri_ok = (
+            det_ok
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= EPS) & (pr >= 0)
+        )
+        upd = tri_ok & (t < bt_ref[:])
+        bt_ref[:] = jnp.where(upd, t, bt_ref[:])
+        bp_ref[:] = jnp.where(upd, pr, bp_ref[:])
+
+    n_chunks = chunk_ref.shape[0] // 8  # static
+
+    def precull(chunk):
+        """Slab-test ALL 128 nodes of preorder chunk `chunk` against the
+        packet in one dense pass and transpose [descend | miss | leaf]
+        into the (128, 8) column scratch, so each walk step is 3 scalar
+        reads + a branch — no per-visit vector work or vector->scalar
+        sync. The descend flags use the prune front AT CHUNK ENTRY; later
+        tightening only costs extra (correct) visits.
+
+        (A fully batched variant — test leaves straight off the desc mask
+        with no per-node stepping at all — is algorithmically sound
+        [boxes nest, so desc(leaf) alone identifies every walk-visited
+        leaf] but every control-flow shape tried for its leaf drain
+        faulted the TPU worker or hung XLA-CPU interpret: leaf_test
+        inside fori-in-while, flattened two-branch while with SMEM
+        carries, nested dynamic-read while chase. See the round-5 notes
+        in tools/tpu_runbook.sh before reattempting.)"""
+        front = row_min(bt_ref[:])
+        nb = chunk_ref[pl.ds(chunk * 8, 8), :]  # (8, LANE) chunk rows
+        mnx, mny, mnz = nb[0:1], nb[1:2], nb[2:3]
+        mxx, mxy, mxz = nb[3:4], nb[4:5], nb[5:6]
         tax, tbx = (mnx - ox) * ix, (mxx - ox) * ix
         tmin = jnp.minimum(tax, tbx)
         tmax = jnp.maximum(tax, tbx)
@@ -118,55 +180,41 @@ def _kernel(nodes_ref, blk_ref, pm_ref, rays_ref,
         tmax = jnp.minimum(tmax, jnp.maximum(taz, tbz))
         ok = ((tmin <= tmax) & (tmax >= EPS) & (tmin < front)
               & (front > stop))
-        anyhit = jnp.any(ok)
+        desc = jnp.max(jnp.where(ok, 1.0, 0.0), axis=0, keepdims=True)
+        pack = jnp.concatenate(
+            [desc, nb[6:7], nb[7:8],
+             jnp.zeros((5, LANE), jnp.float32)], axis=0
+        )  # (8, LANE): [descend | miss | leaf | pad]
+        col_ref[:, :] = jnp.swapaxes(pack, 0, 1)  # (LANE, 8)
+
+    def body(carry):
+        cur, chunk = carry
+        j = jnp.clip(cur - chunk * LANE, 0, LANE - 1)
+        descend = col_ref[j, 0] > 0.0
+        miss = col_ref[j, 1].astype(jnp.int32)
+        leaf = col_ref[j, 2].astype(jnp.int32)
         is_leaf = leaf >= 0
 
-        @pl.when(anyhit & is_leaf)
+        @pl.when(descend & is_leaf)
         def _():
-            # One dynamic-sublane BLOCK load for all nine geometry rows
-            # (p0/e1/e2 xyz) + one for the prim row: ~10x fewer issue slots
-            # than per-row loads (measured in the first cut of this
-            # kernel). Normal rows (9..11) are never read: shade payloads
-            # are recovered by an XLA gather on the winner prim outside.
-            blk = blk_ref[pl.ds(leaf * 12, 9), :]  # (9, LANE)
+            leaf_test(leaf)
 
-            def brow(c):
-                return blk[c:c + 1, :]  # (1, LANE)
+        nxt = jax.lax.select(descend & jnp.logical_not(is_leaf),
+                             cur + 1, miss)
+        nchunk = jax.lax.select(
+            nxt >= 0, jnp.clip(nxt // LANE, 0, n_chunks - 1), chunk
+        )
 
-            p0x, p0y, p0z = brow(0), brow(1), brow(2)
-            e1x, e1y, e1z = brow(3), brow(4), brow(5)
-            e2x, e2y, e2z = brow(6), brow(7), brow(8)
-            pr = pm_ref[pl.ds(leaf * 2, 1), :]  # (1, LANE) i32
+        @pl.when(nchunk != chunk)
+        def _():
+            precull(nchunk)
 
-            # Möller-Trumbore, (1,LANE) tri rows x (WSUB,LANE) ray tiles
-            # (same math and EPS cut-offs as pallas_bvh._leaf_test).
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            det_ok = jnp.abs(det) >= EPS
-            inv = 1.0 / jnp.where(det_ok, det, 1.0)
-            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-            tri_ok = (
-                det_ok
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= EPS) & (pr >= 0)
-            )
-            upd = tri_ok & (t < bt_ref[:])
-            bt_ref[:] = jnp.where(upd, t, bt_ref[:])
-            bp_ref[:] = jnp.where(upd, pr, bp_ref[:])
+        return nxt, nchunk
 
-        return jax.lax.select(anyhit & jnp.logical_not(is_leaf),
-                              cur + 1, miss)
-
-    jax.lax.while_loop(lambda cur: cur >= 0, body, jnp.int32(0))
+    precull(jnp.int32(0))
+    jax.lax.while_loop(
+        lambda c: c[0] >= 0, body, (jnp.int32(0), jnp.int32(0))
+    )
 
     # Epilogue: one masked reduction per output extracts each ray's winner
     # lane (lowest lane id among the per-ray minima; no winner -> lane 0,
@@ -187,17 +235,39 @@ def _kernel(nodes_ref, blk_ref, pm_ref, rays_ref,
     out_p_ref[:, :] = jnp.broadcast_to(extract(bp_ref[:]), (WSUB, 8))
 
 
+def _chunk_table(pk_nodes):
+    """(Nn, 8) node rows -> chunk-major (C*8, 128): chunk q row q*8+c
+    holds component c ([min3 | max3 | miss | leaf]) of nodes
+    q*128..q*128+127 on lanes. Pad nodes are never-hit boxes (+/-1e30)
+    with miss = leaf = -1. Derived per call (a reshape+transpose of a
+    <1 MiB array — noise next to the walk) so the Bvh container needs no
+    new field."""
+    nn = pk_nodes.shape[0]
+    c = -(-nn // LANE)
+    pad_row = jnp.array(
+        [1e30, 1e30, 1e30, -1e30, -1e30, -1e30, -1.0, -1.0], jnp.float32
+    )
+    padded = jnp.concatenate(
+        [pk_nodes, jnp.tile(pad_row, (c * LANE - nn, 1))], axis=0
+    )
+    return jnp.transpose(
+        padded.reshape(c, LANE, 8), (0, 2, 1)
+    ).reshape(c * 8, LANE)
+
+
 def _pallas_call(pk_nodes, pk_blk, pk_pm, rays8, *, interpret):
     rows = rays8.shape[0]
     grid = (rows // WSUB,)
+    chunk_tab = _chunk_table(pk_nodes)
     table_spec = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     scratch = [
         pltpu.VMEM((WSUB, LANE), jnp.float32),
         pltpu.VMEM((WSUB, LANE), jnp.int32),
+        pltpu.VMEM((LANE, 8), jnp.float32),
     ]
-    table_bytes = (pk_nodes.shape[0] * LANE + pk_blk.size + pk_pm.size) * 4
+    table_bytes = (chunk_tab.size + pk_blk.size + pk_pm.size) * 4
     return pl.pallas_call(
         _kernel,
         grid=grid,
@@ -206,7 +276,7 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays8, *, interpret):
             for dt in (jnp.float32, jnp.int32)
         ],
         in_specs=[
-            table_spec(pk_nodes), table_spec(pk_blk), table_spec(pk_pm),
+            table_spec(chunk_tab), table_spec(pk_blk), table_spec(pk_pm),
             pl.BlockSpec((WSUB, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -220,7 +290,7 @@ def _pallas_call(pk_nodes, pk_blk, pk_pm, rays8, *, interpret):
             vmem_limit_bytes=table_bytes + 4 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pk_nodes, pk_blk, pk_pm, rays8)
+    )(chunk_tab, pk_blk, pk_pm, rays8)
 
 
 @functools.lru_cache(maxsize=None)

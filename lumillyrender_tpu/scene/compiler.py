@@ -331,10 +331,16 @@ def compile_scene(config: Config, spp: int | None = None) -> CompiledScene:
     )
 
     # Treelet BVH over triangles (spheres stay brute-force in traversal).
+    # Meshes past the packet kernel's resident-table capacity get K=128
+    # leaves instead, which routes traversal to the wide-leaf kernel
+    # (ops/pallas_bvh_wide.py) — measured faster than HBM-streaming at
+    # 1M tris and fully VMEM-resident to ~1.6M (BIGMESH.json).
     t_bvh = time.monotonic()
-    from ..accel.pack import build_tri_bvh
+    from ..accel.pack import WIDE_MIN_TRIS, build_tri_bvh
 
-    bvh = Bvh(**build_tri_bvh(p0, e1, e2, tri_n=tri_n, tri_mat=t_mat))
+    max_leaf = 128 if p0.shape[0] >= WIDE_MIN_TRIS else None
+    bvh = Bvh(**build_tri_bvh(p0, e1, e2, tri_n=tri_n, tri_mat=t_mat,
+                              max_leaf=max_leaf))
     bvh_seconds = time.monotonic() - t_bvh
 
     # Sky (`description.rs:58-65`; missing [sky] -> black uniform).

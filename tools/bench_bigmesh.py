@@ -79,6 +79,13 @@ def main():
                            tri_mat=np.zeros(nt, np.int32), max_leaf=32)
     build_s = time.monotonic() - t0
     bvh = Bvh(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    # Wide-leaf variant (K=128 -> ops/pallas_bvh_wide.py), the layout the
+    # scene compiler now picks for meshes past WIDE_MIN_TRIS.
+    t0 = time.monotonic()
+    arrays_w = build_tri_bvh(p0, e1, e2, tri_n=nrm,
+                             tri_mat=np.zeros(nt, np.int32), max_leaf=128)
+    build_w_s = time.monotonic() - t0
+    bvh_w = Bvh(**{k: jnp.asarray(v) for k, v in arrays_w.items()})
     geom = Geometry(
         tri_p0=jnp.asarray(p0), tri_e1=jnp.asarray(e1),
         tri_e2=jnp.asarray(e2), tri_n=jnp.asarray(nrm),
@@ -121,6 +128,11 @@ def main():
     }
 
     backends = [
+        ("wide-sorted", dict(use_pallas=True,
+                             pallas_interpret=args.interpret,
+                             reorder=True, _bvh=bvh_w)),
+        ("wide", dict(use_pallas=True, pallas_interpret=args.interpret,
+                      reorder=False, _bvh=bvh_w)),
         ("pallas-sorted", dict(use_pallas=True, pallas_streamed=True,
                                pallas_interpret=args.interpret,
                                reorder=True)),
@@ -131,9 +143,12 @@ def main():
     ]
 
     def chained(kw, d_cur):
+        kw = dict(kw)
+        bvh_cur = kw.pop("_bvh", bvh)
+
         def body(carry, _):
             oo, acc = carry
-            h = intersect_bvh(oo, d_cur, geom, bvh, **kw)
+            h = intersect_bvh(oo, d_cur, geom, bvh_cur, **kw)
             return (oo + 1e-6, acc + jnp.sum(jnp.where(h.prim >= 0, h.t, 0.0))), None
 
         def fn(o):
@@ -144,8 +159,12 @@ def main():
 
         return jax.jit(fn)
 
+    from lumillyrender_tpu.ops import pallas_bvh_wide
+
     out = {"tris": int(nt), "rays": int(n), "build_seconds": build_s,
-           "node_vmem_mib": node_mb, "cases": {}}
+           "node_vmem_mib": node_mb, "wide_build_seconds": build_w_s,
+           "wide_table_mib": pallas_bvh_wide.table_vmem_bytes(bvh_w) / 2**20,
+           "wide_wsub": pallas_bvh_wide.WSUB, "cases": {}}
     for case, (o, d) in cases.items():
         for name, kw in backends:
             fn = chained(kw, d)
@@ -159,21 +178,30 @@ def main():
             out["cases"][f"{case}/{name}"] = {"mrays_per_s": mrps}
             print(f"{case:10s} {name:15s} {mrps:9.2f} M rays/s", flush=True)
 
-        # per-lane parity streamed+sorted vs walk (prim flips only at
-        # t-ties; the sort is exact — see intersect_bvh)
-        h_s = jax.jit(lambda o, d: intersect_bvh(
-            o, d, geom, bvh, use_pallas=True, pallas_streamed=True,
-            pallas_interpret=args.interpret))(o, d)
+        # per-lane parity vs the XLA walk (prim flips only at t-ties;
+        # the sort is exact — see intersect_bvh)
         h_w = jax.jit(lambda o, d: intersect_bvh(o, d, geom, bvh))(o, d)
-        t_s, t_w = np.asarray(h_s.t), np.asarray(h_w.t)
+        t_w = np.asarray(h_w.t)
         scale = max(float(np.abs(t_w[np.isfinite(t_w)]).max()), 1.0)
-        t_close = np.abs(t_s - t_w) <= 1e-4 * scale
-        prim_eq = np.asarray(h_s.prim) == np.asarray(h_w.prim)
-        bad = int(((~prim_eq) & ~t_close).sum() + (prim_eq & ~t_close).sum())
-        out["cases"][f"{case}/parity_bad_lanes"] = bad
-        print(f"{case:10s} parity streamed-vs-walk: bad={bad}", flush=True)
-        if bad:
-            raise SystemExit(f"BIGMESH PARITY FAILED ({case}): {bad} lanes")
+        for pname, pb, pkw in [
+            ("streamed", bvh, dict(pallas_streamed=True)),
+            ("wide", bvh_w, dict()),
+        ]:
+            h_s = jax.jit(lambda o, d, _b=pb, _k=pkw: intersect_bvh(
+                o, d, geom, _b, use_pallas=True,
+                pallas_interpret=args.interpret, **_k))(o, d)
+            t_s = np.asarray(h_s.t)
+            t_close = np.abs(t_s - t_w) <= 1e-4 * scale
+            prim_eq = np.asarray(h_s.prim) == np.asarray(h_w.prim)
+            bad = int(((~prim_eq) & ~t_close).sum()
+                      + (prim_eq & ~t_close).sum())
+            out["cases"][f"{case}/parity_bad_lanes_{pname}"] = bad
+            print(f"{case:10s} parity {pname}-vs-walk: bad={bad}",
+                  flush=True)
+            if bad:
+                raise SystemExit(
+                    f"BIGMESH PARITY FAILED ({case}/{pname}): {bad} lanes"
+                )
 
     (REPO / "BIGMESH.json").write_text(json.dumps(out, indent=1))
     print("wrote BIGMESH.json")

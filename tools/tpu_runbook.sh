@@ -62,3 +62,34 @@ echo "runbook done"
 # * Cold-tunnel single measurements can read 3-8x low (CLIFF 128-tri row:
 #   0.97 vs 13.96 M on re-measure); never conclude from one cold run,
 #   and keep heavy CPU jobs (oracle gate) off the host during benches.
+# --- round-5 continuation (wide-leaf kernel) ---
+# * Lane-inverted BVH kernel (ops/pallas_bvh_wide.py): rays on SUBLANES,
+#   128-tri leaves on LANES. New lowering facts (tools/probe_wide.py):
+#   dynamic-sublane (1,128)/(9,128) VECTOR block loads lower; (8,8)
+#   narrow out blocks lower; (8,128)->(128,8) swapaxes lowers, enabling
+#   "transpose row data into a column, then dynamic-sublane SCALAR reads"
+#   - the trick behind the per-chunk precull.
+# * Per-iteration cost of a Mosaic while_loop walk is ~70-120 cycles
+#   regardless of body slimness (scalar reads + branch latency + loop
+#   machinery): the wide kernel is WALK-bound, not leaf-bound. Numpy
+#   union-walk sim (1M tris): ~20-30 node visits/ray at ANY packet size
+#   8-64 (t-pruning keeps unions tight), leaves/ray ~3 constant.
+# * Fully-batched chunk traversal (slab 128 preorder nodes at once,
+#   drain only desc-flagged leaves; exact by box-nesting: desc(leaf)
+#   already implies every ancestor desc) is algorithmically sound but
+#   every control-flow shape tried for the leaf drain FAILED:
+#   - leaf_test (ref writes) inside fori nested in while: XLA-CPU
+#     interpret hangs at execution; TPU worker faults.
+#   - flattened single while with two pl.when branches + SMEM-carried
+#     (exit, pending): TPU worker faults even with every dynamic index
+#     clamped; identical code ONCE ran and then faulted on re-runs -
+#     flaky, smells like a Mosaic codegen race, not program logic.
+#   - nested dynamic-read while chase for the chunk exit: faults.
+#   Each ingredient probed fine in isolation (/tmp-era probes now in
+#   tools/probe_wide.py + this bank); the combination is what breaks.
+#   Shipped shape instead: v1 "precull" - per-node scalar walk over a
+#   transposed [desc|miss|leaf] column, leaf_test under pl.when directly
+#   in the single while body (the packet kernel's proven shape).
+# * WIDE_SWEEP.json (1M-tri terrain, 256k rays): precull kernel
+#   WSUB=64: 0.53 M rays/s coherent / 0.41 sorted-incoherent vs the
+#   streamed packet kernel's 0.49/0.24. Monotone in WSUB 8->64.
